@@ -1,0 +1,18 @@
+"""TGTC — a TPU-native framework for texture-consistent 3D scene style transfer.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of the PyTorch
+"TGTC-Style" reference (transformer-guided NeRF style transfer):
+
+* LLFF scene loading, ray generation, NDC projection (`tgtc.data`)
+* Volume-rendering math: stratified + hierarchical sampling, alpha
+  compositing, positional encoding (`tgtc.ops`)
+* NeRF trunk + 3D style field (style MLPs, variational latents), VAE,
+  VGG/AdaIN/StyTr2 2D stylization stack (`tgtc.models`)
+* Device-mesh parallelism over rays via jax.sharding (`tgtc.parallel`)
+* Phase trainers/renderers + checkpointing + CLI (`tgtc.train`, `tgtc.cli`)
+
+Everything under a jitted step is pure-functional: explicit PRNG keys,
+pytree parameters, optax optimizers, orbax checkpoints.
+"""
+
+__version__ = "0.1.0"

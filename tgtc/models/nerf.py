@@ -1,0 +1,148 @@
+"""The NeRF trunk (coarse/fine ``StyleNerf`` equivalent).
+
+Ground-up flax rewrite of ``MLP_style`` + ``StyleNerf``
+(/root/reference/models.py:63-117,182-223): 8x256 MLP with a skip at layer 4,
+sigma head, 256-d ``base_remap`` feature head (the style field's hook point),
+and a viewdir-conditioned 2-layer RGB head.
+
+TPU-first design decisions:
+
+* The hot path is ``[rays*samples, W]`` matmuls — we keep the batch axis a
+  multiple of 128 (caller pads) and compute in **bfloat16 with float32
+  accumulation** so the MXU runs at full rate. Params stay float32.
+* Positional encoding is applied inside the jitted apply so XLA fuses it
+  into the first matmul's producer.
+* The module returns ``(rgb, sigma, base_remap, pts_embed)`` — the style
+  field consumes ``base_remap``/``pts_embed`` exactly like the reference's
+  ``enable_style`` outputs (/root/reference/models.py:113-117).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tgtc.ops.encoding import encoding_dim, positional_encoding
+
+Params = Any
+
+ACTIVATIONS: Dict[str, Callable] = {
+    "relu": nn.relu,
+    "sigmoid": nn.sigmoid,
+    "elu": nn.elu,
+    "tanh": nn.tanh,
+}
+
+
+def make_sine(w0: float = 30.0) -> Callable:
+    """SIREN activation (reference ``Sine``, /root/reference/models.py:14-20)."""
+    return lambda x: jnp.sin(w0 * x)
+
+
+@dataclasses.dataclass(frozen=True)
+class NerfConfig:
+    """Static architecture config (mirrors the reference CLI flags,
+    /root/reference/config.py:70-92)."""
+
+    depth: int = 8
+    width: int = 256
+    embed_freq_coor: int = 10
+    embed_freq_dir: int = 4
+    use_viewdir: bool = True
+    act_type: str = "relu"
+    siren_sigma_mul: float = 20.0
+    skips: Tuple[int, ...] = (4,)
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def is_siren(self) -> bool:
+        return self.act_type == "sine"
+
+    @property
+    def input_ch(self) -> int:
+        return 3 if self.is_siren else encoding_dim(3, self.embed_freq_coor)
+
+    @property
+    def input_ch_viewdir(self) -> int:
+        return 3 if self.is_siren else encoding_dim(3, self.embed_freq_dir)
+
+
+class NerfMLP(nn.Module):
+    """Trunk MLP operating on *pre-encoded* points/dirs.
+
+    Layer layout matches /root/reference/models.py:75-93 so torch-trained
+    checkpoints convert 1:1 (``base_layers.{i}``, ``sigma_layer``,
+    ``base_remap_layer``, ``rgb_layers.{0,1}``).
+    """
+
+    cfg: NerfConfig
+
+    @nn.compact
+    def __call__(self, pts_embed: jnp.ndarray, dirs_embed: jnp.ndarray):
+        cfg = self.cfg
+        act = make_sine() if cfg.is_siren else ACTIVATIONS[cfg.act_type]
+        cdt = cfg.compute_dtype
+
+        x = pts_embed.astype(cdt)
+        base = act(nn.Dense(cfg.width, dtype=cdt, name="base_0")(x))
+        for i in range(cfg.depth - 1):
+            if i in cfg.skips:
+                base = jnp.concatenate([x, base], axis=-1)
+            base = act(nn.Dense(cfg.width, dtype=cdt, name=f"base_{i + 1}")(base))
+
+        sigma = nn.Dense(1, dtype=jnp.float32, name="sigma")(base.astype(jnp.float32))
+        if cfg.is_siren:
+            # amplify positive sigma for SIREN (/root/reference/models.py:104)
+            sigma = sigma + jax.nn.relu(sigma) * cfg.siren_sigma_mul
+
+        base_remap = act(nn.Dense(256, dtype=cdt, name="base_remap")(base))
+
+        if cfg.use_viewdir:
+            rgb_in = jnp.concatenate([base_remap, dirs_embed.astype(cdt)], axis=-1)
+        else:
+            rgb_in = base_remap
+        rgb_fea = act(nn.Dense(cfg.width // 2, dtype=cdt, name="rgb_0")(rgb_in))
+        rgb = nn.sigmoid(
+            nn.Dense(3, dtype=jnp.float32, name="rgb_1")(rgb_fea.astype(jnp.float32))
+        )
+        return {
+            "rgb": rgb,
+            "sigma": sigma[..., 0],
+            "base_remap": base_remap.astype(jnp.float32),
+        }
+
+
+def make_nerf(cfg: NerfConfig, key: jax.Array) -> Tuple[NerfMLP, Params]:
+    """Initialize a NeRF trunk; returns (module, params)."""
+    model = NerfMLP(cfg)
+    pts = jnp.zeros((2, cfg.input_ch))
+    dirs = jnp.zeros((2, cfg.input_ch_viewdir))
+    params = model.init(key, pts, dirs)
+    return model, params
+
+
+def nerf_apply(
+    model: NerfMLP,
+    params: Params,
+    pts: jnp.ndarray,
+    dirs: jnp.ndarray,
+) -> Dict[str, jnp.ndarray]:
+    """Encode raw pts/dirs and run the trunk.
+
+    ``pts [..., 3]``, ``dirs [..., 3]`` (dirs broadcast over the sample axis
+    is the caller's job). Returns dict with ``rgb [..., 3]``,
+    ``sigma [...]``, ``base_remap [..., 256]``, ``pts_embed [..., input_ch]``.
+    """
+    cfg = model.cfg
+    if cfg.is_siren:
+        pts_embed, dirs_embed = pts, dirs
+    else:
+        pts_embed = positional_encoding(pts, cfg.embed_freq_coor)
+        dirs_embed = positional_encoding(dirs, cfg.embed_freq_dir)
+    out = model.apply(params, pts_embed, dirs_embed)
+    out["pts_embed"] = pts_embed
+    return out

@@ -1,0 +1,131 @@
+"""Ray-sample generation: stratified uniform + hierarchical inverse-CDF.
+
+Rewrites the reference samplers (/root/reference/utils.py:509-609) as pure,
+key-threaded jnp functions with static shapes:
+
+* :func:`sample_along_rays_uniform` — ``sampling_pts_uniform`` parity
+  (uniform / disparity ["harmony"] spacing, optional mid-bin jitter).
+* :func:`sample_pdf` — ``sample_pdf`` parity (inverse-CDF importance
+  sampling via a *vectorized branchless searchsorted*; torch.searchsorted
+  becomes `jnp.searchsorted`, which XLA lowers to a fully parallel
+  comparison network — no data-dependent control flow).
+* :func:`merge_and_resample_fine` — ``sampling_pts_fine_torch`` parity
+  (resample from coarse weights, merge + sort coarse∪fine depths).
+
+All functions treat the sample axis as statically shaped so the fused
+render path compiles once per (rays, samples) geometry.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_along_rays_uniform(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    n_samples: int,
+    near: float = 0.0,
+    far: float = 1.05,
+    harmony: bool = False,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stratified depths along each ray.
+
+    Args:
+        rays_o, rays_d: ``[R, 3]`` origins / directions.
+        n_samples: static sample count N.
+        harmony: disparity-space spacing (reference ``harmony=True`` branch,
+            /root/reference/utils.py:514-516).
+        key: if given, jitter each depth uniformly within its bin
+            (reference ``perturb=True``, /root/reference/utils.py:518-524).
+
+    Returns:
+        ``pts [R, N, 3]``, ``ts [R, N]``.
+    """
+    r = rays_o.shape[0]
+    ts = jnp.linspace(0.0, 1.0, n_samples, dtype=rays_o.dtype)
+    if not harmony:
+        ts = ts * (far - near) + near
+    else:
+        ts = 1.0 / (1.0 / near * (1.0 - ts) + 1.0 / far * ts)
+    ts = jnp.broadcast_to(ts, (r, n_samples))
+
+    if key is not None:
+        mid = 0.5 * (ts[..., 1:] + ts[..., :-1])
+        upper = jnp.concatenate([mid, ts[..., -1:]], axis=-1)
+        lower = jnp.concatenate([ts[..., :1], mid], axis=-1)
+        u = jax.random.uniform(key, (r, n_samples), dtype=ts.dtype)
+        ts = lower + (upper - lower) * u
+
+    pts = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+    return pts, ts
+
+
+def sample_pdf(
+    bins: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_samples: int,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Inverse-CDF sampling of ``n_samples`` new depths from per-bin weights.
+
+    Parity with /root/reference/utils.py:583-608: ``bins [R, B]`` are bin
+    *centers* (B values bounding B-1 intervals), ``weights [R, B-1]``.
+    Deterministic (evenly spaced u) when ``key is None`` — note the
+    reference's Phase-A hot loop always uses ``det=True``
+    (/root/reference/utils.py:575).
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [R, B]
+
+    r = bins.shape[0]
+    if key is None:
+        u = jnp.linspace(0.0, 1.0, n_samples, dtype=bins.dtype)
+        u = jnp.broadcast_to(u, (r, n_samples))
+    else:
+        u = jax.random.uniform(key, (r, n_samples), dtype=bins.dtype)
+
+    # searchsorted 'right' per ray; vectorized over the ray axis.
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
+def merge_and_resample_fine(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    ts: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_samples_fine: int,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hierarchical resampling: draw fine depths from the coarse weight PDF,
+    merge with the coarse depths, and sort.
+
+    Parity with ``sampling_pts_fine_torch`` (/root/reference/utils.py:573-580):
+    bins are coarse-depth midpoints, weights drop the first/last sample, the
+    result is detached (`stop_gradient`) so sampling is not differentiated.
+    """
+    ts_mid = 0.5 * (ts[..., 1:] + ts[..., :-1])
+    t_new = sample_pdf(ts_mid, weights[..., 1:-1], n_samples_fine, key=key)
+    t_new = jax.lax.stop_gradient(t_new)
+    t_all = jnp.sort(jnp.concatenate([ts, t_new], axis=-1), axis=-1)
+    t_all = jax.lax.stop_gradient(t_all)
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * t_all[..., None]
+    return pts, t_all

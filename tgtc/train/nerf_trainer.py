@@ -1,0 +1,209 @@
+"""Phase A — NeRF pretraining (reference ``Origin_train``,
+/root/reference/train_tgtcs.py:218-309), rebuilt TPU-first:
+
+* ONE jitted, buffer-donated ``train_step``: index sampling, ray gather,
+  coarse+fine render, loss, grads, and the optax update all fuse into a
+  single XLA program (the reference pays a host→device copy and a python
+  ``batchify`` loop every step).
+* The full ray dataset lives in HBM; batches are ``jax.random.randint``
+  gathers — the reference's per-ray ``Dataset.__getitem__`` numpy indexing
+  (a documented host bottleneck, SURVEY.md §7) disappears.
+* Learning rate: continuous exponential decay
+  ``lrate * 0.1**(step/lrate_decay)`` (/root/reference/train_tgtcs.py:272-276).
+* Multi-chip: the gathered batch is sharding-constrained to the mesh's
+  ``data`` axis; params replicated; XLA emits the grad psum.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh
+
+from tgtc.models.nerf import NerfConfig, NerfMLP, make_nerf
+from tgtc.ops.losses import img2mse, mse2psnr
+from tgtc.parallel.mesh import DATA_AXIS, data_sharding
+from tgtc.render.volume import RenderSettings, render_rays
+
+
+@dataclasses.dataclass(frozen=True)
+class NerfTrainConfig:
+    batch_size: int = 2048
+    lrate: float = 5e-4
+    lrate_decay: int = 100000  # steps for a 10x decay
+    n_samples: int = 64
+    n_samples_fine: int = 64
+    sigma_noise_std: float = 1.0
+    near: float = 0.0
+    far: float = 1.0
+    white_bkgd: bool = False
+
+    def render_settings(self, perturb: bool) -> RenderSettings:
+        return RenderSettings(
+            n_samples=self.n_samples,
+            n_samples_fine=self.n_samples_fine,
+            near=self.near,
+            far=self.far,
+            sigma_noise_std=self.sigma_noise_std if perturb else 0.0,
+            white_bkgd=self.white_bkgd,
+            perturb=perturb,
+        )
+
+
+class NerfTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params_coarse: Any
+    params_fine: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: NerfTrainConfig) -> optax.GradientTransformation:
+    schedule = lambda step: cfg.lrate * (0.1 ** (step / cfg.lrate_decay))
+    # Adam(betas=.9/.999) parity: /root/reference/train_tgtcs.py:39
+    return optax.adam(learning_rate=schedule)
+
+
+def init_state(
+    key: jax.Array, nerf_cfg: NerfConfig, train_cfg: NerfTrainConfig
+) -> Tuple[NerfMLP, NerfMLP, NerfTrainState]:
+    k1, k2 = jax.random.split(key)
+    coarse_model, params_c = make_nerf(nerf_cfg, k1)
+    fine_model, params_f = make_nerf(nerf_cfg, k2)
+    tx = make_optimizer(train_cfg)
+    opt_state = tx.init({"coarse": params_c, "fine": params_f})
+    state = NerfTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params_coarse=params_c,
+        params_fine=params_f,
+        opt_state=opt_state,
+    )
+    return coarse_model, fine_model, state
+
+
+def make_train_step(
+    coarse_model: NerfMLP,
+    fine_model: NerfMLP,
+    train_cfg: NerfTrainConfig,
+    mesh: Optional[Mesh] = None,
+):
+    """Build the jitted Phase-A train step.
+
+    The returned function has signature
+    ``(state, rays_o [T,3], rays_d [T,3], rgb_gt [T,3], key) -> (state, metrics)``
+    where T is the full dataset size; batch indices are drawn inside.
+    """
+    tx = make_optimizer(train_cfg)
+    settings = train_cfg.render_settings(perturb=True)
+
+    def step_fn(state: NerfTrainState, rays_o, rays_d, rgb_gt, key):
+        k_idx, k_render = jax.random.split(jax.random.fold_in(key, state.step))
+        idx = jax.random.randint(
+            k_idx, (train_cfg.batch_size,), 0, rays_o.shape[0]
+        )
+        b_o, b_d, b_rgb = rays_o[idx], rays_d[idx], rgb_gt[idx]
+        if mesh is not None:
+            shard = data_sharding(mesh, 2)
+            b_o = jax.lax.with_sharding_constraint(b_o, shard)
+            b_d = jax.lax.with_sharding_constraint(b_d, shard)
+            b_rgb = jax.lax.with_sharding_constraint(b_rgb, shard)
+
+        def loss_fn(params):
+            out = render_rays(
+                coarse_model,
+                params["coarse"],
+                fine_model,
+                params["fine"],
+                b_o,
+                b_d,
+                settings,
+                key=k_render,
+            )
+            loss_c = img2mse(out["coarse"].rgb, b_rgb)
+            loss_f = img2mse(out["fine"].rgb, b_rgb)
+            return loss_c + loss_f, (loss_c, loss_f)
+
+        params = {"coarse": state.params_coarse, "fine": state.params_fine}
+        (loss, (loss_c, loss_f)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, state.opt_state, params)
+        params = optax.apply_updates(params, updates)
+        new_state = NerfTrainState(
+            step=state.step + 1,
+            params_coarse=params["coarse"],
+            params_fine=params["fine"],
+            opt_state=opt_state,
+        )
+        metrics = {
+            "loss": loss,
+            "loss_coarse": loss_c,
+            "loss_fine": loss_f,
+            "psnr": mse2psnr(loss_c),
+            "psnr_fine": mse2psnr(loss_f),
+        }
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_render_fn(
+    coarse_model: NerfMLP,
+    fine_model: NerfMLP,
+    train_cfg: NerfTrainConfig,
+    mesh: Optional[Mesh] = None,
+):
+    """Jitted full-precision render of a flat ray block (no noise/perturb).
+
+    Callers pad the ray count to a multiple of (devices * 128) and shard the
+    block over the ``data`` axis — this replaces the reference's ``batchify``
+    chunk loop (/root/reference/utils.py:435-456).
+    """
+    settings = train_cfg.render_settings(perturb=False)
+
+    def render_fn(params_coarse, params_fine, rays_o, rays_d):
+        if mesh is not None:
+            shard = data_sharding(mesh, 2)
+            rays_o = jax.lax.with_sharding_constraint(rays_o, shard)
+            rays_d = jax.lax.with_sharding_constraint(rays_d, shard)
+        out = render_rays(
+            coarse_model, params_coarse, fine_model, params_fine,
+            rays_o, rays_d, settings, key=None,
+        )
+        return {
+            "rgb": out["fine"].rgb,
+            "rgb_coarse": out["coarse"].rgb,
+            "t_exp": out["fine"].t_exp,
+            "acc": out["fine"].acc,
+        }
+
+    return jax.jit(render_fn)
+
+
+def render_image(
+    render_fn,
+    params_coarse,
+    params_fine,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    block: int = 65536,
+) -> Dict[str, jnp.ndarray]:
+    """Render an arbitrary number of rays by fixed-size blocks (static shapes
+    → one compile), padding the tail block."""
+    n = rays_o.shape[0]
+    outs = []
+    for start in range(0, n, block):
+        end = min(start + block, n)
+        bo, bd = rays_o[start:end], rays_d[start:end]
+        if end - start < block:
+            pad = block - (end - start)
+            bo = jnp.concatenate([bo, jnp.zeros((pad, 3), bo.dtype)], axis=0)
+            bd = jnp.concatenate([bd, jnp.ones((pad, 3), bd.dtype)], axis=0)
+        out = render_fn(params_coarse, params_fine, bo, bd)
+        outs.append(jax.tree.map(lambda x: x[: end - start], out))
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
