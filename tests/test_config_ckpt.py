@@ -1,0 +1,100 @@
+"""Tests for the config system (reference config-file compat) and orbax
+checkpointing."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tgtc.config import Config, load_config, parse_config_file
+
+
+class TestConfig:
+    def test_defaults(self):
+        cfg = Config()
+        assert cfg.netdepth == 8 and cfg.embed_freq_coor == 10
+
+    def test_reference_style_file(self, tmp_path):
+        """Parses the reference configs/fern.txt format (key = value, bare
+        flags, comments)."""
+        p = tmp_path / "fern.txt"
+        p.write_text(
+            "expname = fern_style\n"
+            "datadir = ./data/fern\n"
+            "factor = 4\n"
+            "batch_size = 2048 # 2048\n"
+            "batch_size_style = 256 # 1024\n"
+            "loss_coh_lambda = 1e2\n"
+            "use_viewdir\n"
+            "sigma_noise_std = 1e0\n"
+            "origin_step = 120001\n"
+        )
+        cfg = load_config(["--config", str(p)])
+        assert cfg.expname == "fern_style"
+        assert cfg.factor == 4.0
+        assert cfg.batch_size == 2048
+        assert cfg.batch_size_style == 256
+        assert cfg.loss_coh_lambda == 100.0
+        assert cfg.use_viewdir is True
+        assert cfg.origin_step == 120001
+
+    def test_cli_overrides_file(self, tmp_path):
+        p = tmp_path / "c.txt"
+        p.write_text("factor = 4\n")
+        cfg = load_config(["--config", str(p), "--factor", "8"])
+        assert cfg.factor == 8.0
+
+    def test_exp_dir_naming(self):
+        cfg = Config(expname="fern", nerf_type="style_nerf", act_type="relu",
+                     use_viewdir=True, factor=4.0, basedir="/logs")
+        assert "fern_style_nerf_relu_ViewdirTrue_factor4.0" in cfg.exp_dir
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        from tgtc.train.checkpoint import CheckpointManager
+
+        state = {
+            "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+            "step": jnp.asarray(7),
+        }
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+        mgr.save(7, state)
+        assert mgr.latest_step() == 7
+        restored = mgr.restore(state)
+        np.testing.assert_array_equal(
+            np.asarray(restored["params"]["w"]), np.asarray(state["params"]["w"])
+        )
+        assert int(restored["step"]) == 7
+        mgr.close()
+
+    def test_retention(self, tmp_path):
+        from tgtc.train.checkpoint import CheckpointManager
+
+        state = {"x": jnp.zeros(3)}
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+        for s in [1, 2, 3]:
+            mgr.save(s, {"x": jnp.full(3, float(s))})
+        assert mgr.latest_step() == 3
+        steps = mgr._mgr.all_steps()
+        assert 1 not in steps and len(steps) == 2
+        mgr.close()
+
+    def test_train_state_roundtrip(self, tmp_path):
+        from tgtc.models.nerf import NerfConfig
+        from tgtc.train.checkpoint import CheckpointManager
+        from tgtc.train.nerf_trainer import NerfTrainConfig, init_state
+
+        cfg = NerfConfig(depth=2, width=16, embed_freq_coor=2, embed_freq_dir=1,
+                         compute_dtype=jnp.float32)
+        _, _, state = init_state(jax.random.PRNGKey(0), cfg, NerfTrainConfig())
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(0, state)
+        restored = mgr.restore(state)
+        chex_equal = jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+            state.params_coarse, restored.params_coarse,
+        )
+        del chex_equal
+        mgr.close()

@@ -1,0 +1,82 @@
+"""Fused NeRF-MLP Pallas kernel vs the XLA reference path (interpret mode
+on CPU; the same kernel compiles to Mosaic on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tgtc.models.nerf import NerfConfig, make_nerf, nerf_apply
+from tgtc.ops.pallas.nerf_mlp import (
+    _encoding_matrices,
+    fused_nerf_apply,
+    pack_nerf_params,
+)
+from tgtc.ops.encoding import positional_encoding
+
+
+class TestEncodingMatrices:
+    def test_matmul_sin_equals_reference_encoding(self):
+        """sin(Pmat @ x + phase) must reproduce positional_encoding's
+        sin/cos block exactly (f32)."""
+        pmat, phase = _encoding_matrices(4)
+        x = np.random.default_rng(0).normal(size=(3, 7)).astype(np.float32)
+        got = np.sin(pmat @ x + phase)  # [24, 7]
+        ref = np.asarray(positional_encoding(jnp.asarray(x.T), 4))[:, 3:]  # drop raw
+        np.testing.assert_allclose(got.T, ref, atol=1e-5)
+
+
+class TestFusedKernel:
+    @pytest.mark.parametrize("n_points", [256, 300])  # aligned + padded tail
+    def test_matches_xla_path(self, n_points):
+        cfg = NerfConfig()  # full-size trunk
+        model, params = make_nerf(cfg, jax.random.PRNGKey(0))
+        packed = pack_nerf_params(params)
+        key = jax.random.PRNGKey(1)
+        pts = jax.random.uniform(key, (n_points, 3), minval=-1, maxval=1)
+        dirs = jax.random.normal(key, (n_points, 3))
+
+        out = fused_nerf_apply(packed, pts, dirs, tile=128, interpret=True)
+        ref = nerf_apply(model, params, pts, dirs)
+        # bf16 compute → loose tolerances
+        np.testing.assert_allclose(
+            np.asarray(out["rgb"]), np.asarray(ref["rgb"]), atol=3e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["sigma"]), np.asarray(ref["sigma"]), atol=2e-1
+        )
+
+    def test_fused_render_pipeline_matches_xla(self):
+        """Full coarse→fine fused pipeline vs the XLA render path."""
+        from tgtc.render.fast import FusedNerfRenderer
+        from tgtc.render.volume import RenderSettings
+        from tgtc.train.nerf_trainer import (
+            NerfTrainConfig, init_state, make_render_fn,
+        )
+
+        cm, fm, state = init_state(
+            jax.random.PRNGKey(0), NerfConfig(), NerfTrainConfig()
+        )
+        settings = RenderSettings(n_samples=8, n_samples_fine=8,
+                                  sigma_noise_std=0.0)
+        rend = FusedNerfRenderer.from_params(
+            state.params_coarse, state.params_fine, settings,
+            tile=128, interpret=True,
+        )
+        key = jax.random.PRNGKey(1)
+        ro = jax.random.uniform(key, (64, 3), minval=-0.5, maxval=0.5)
+        rd = jax.random.normal(key, (64, 3))
+        rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+
+        out = rend.render(ro, rd)
+        xla_fn = make_render_fn(
+            cm, fm, NerfTrainConfig(n_samples=8, n_samples_fine=8,
+                                    sigma_noise_std=0.0)
+        )
+        ref = xla_fn(state.params_coarse, state.params_fine, ro, rd)
+        np.testing.assert_allclose(
+            np.asarray(out["rgb"]), np.asarray(ref["rgb"]), atol=5e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["t_exp"]), np.asarray(ref["t_exp"]), atol=5e-2
+        )

@@ -1,0 +1,185 @@
+"""StyTr2-style transformer (content/style encoders + cross decoder).
+
+Ground-up flax rewrite of /root/reference/transformer.py:13-329 and the
+PatchEmbed at /root/reference/tctrans.py:13-33:
+
+* ``PatchEmbed``: Conv 3→512, kernel=stride=8 (tokens = (H/8)*(W/8)).
+* Two 3-layer **post-norm** encoders (content, style). The reference
+  encoder layer has a quirky double projection we reproduce for behavioral
+  and checkpoint parity (/root/reference/transformer.py:172-177): with no
+  positional embedding, a fused ``qkv`` linear produces q/k/v (v REPLACES
+  the residual input), which then pass through the attention block's own
+  input projections; with a positional embedding, a fused ``qk`` linear
+  projects q=k and v is the raw input.
+* A 3-layer decoder whose "self"-attention is actually a second
+  cross-attention over the style memory with content-as-query-pos
+  (/root/reference/transformer.py:245-257), followed by LayerNorm.
+* Content tokens double as the positional embedding (``pos_c = content``,
+  /root/reference/tctrans.py:205); the reference's CAPE branch (new_ps /
+  averagepooling) is dead code and intentionally omitted.
+
+Attention itself is jax-native scaled dot-product (one fused einsum chain —
+XLA maps it onto the MXU); dropout is key-threaded and off at inference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    d_model: int = 512
+    nhead: int = 8
+    num_encoder_layers: int = 3
+    num_decoder_layers: int = 3
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+
+
+class PatchEmbed(nn.Module):
+    """Image → token grid. Conv2d(3, 512, k=8, s=8) parity
+    (/root/reference/tctrans.py:26). NHWC in, NHWC token map out."""
+
+    embed_dim: int = 512
+    patch_size: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            name="proj",
+        )(x)
+
+
+class MultiHeadAttention(nn.Module):
+    """torch nn.MultiheadAttention parity: packed q/k/v input projections
+    with bias + output projection. [B, N, C] tensors."""
+
+    d_model: int
+    nhead: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, q, k, v, deterministic: bool = True):
+        d_head = self.d_model // self.nhead
+        q_p = nn.Dense(self.d_model, name="q_proj")(q)
+        k_p = nn.Dense(self.d_model, name="k_proj")(k)
+        v_p = nn.Dense(self.d_model, name="v_proj")(v)
+
+        def split(x):
+            b, n, _ = x.shape
+            return x.reshape(b, n, self.nhead, d_head).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = split(q_p), split(k_p), split(v_p)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / jnp.sqrt(d_head)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
+        b, h, n, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.d_model)
+        return nn.Dense(self.d_model, name="out_proj")(out)
+
+
+class EncoderLayer(nn.Module):
+    cfg: TransformerConfig
+
+    @nn.compact
+    def __call__(self, src, pos=None, deterministic: bool = True):
+        cfg = self.cfg
+        if pos is None:
+            # fused qkv; NOTE v replaces src in the residual stream
+            # (reference /root/reference/transformer.py:173-174)
+            qkv = nn.Dense(3 * cfg.d_model, use_bias=False, name="qkv")(src)
+            q, k, src = jnp.split(qkv, 3, axis=-1)
+        else:
+            qk = nn.Dense(2 * cfg.d_model, use_bias=False, name="qk")(src)
+            q, k = jnp.split(qk, 2, axis=-1)
+        attn_out = MultiHeadAttention(
+            cfg.d_model, cfg.nhead, cfg.dropout, name="self_attn"
+        )(q, k, src, deterministic)
+        src = src + nn.Dropout(cfg.dropout)(attn_out, deterministic=deterministic)
+        src = nn.LayerNorm(name="norm1")(src)
+        ff = nn.Dense(cfg.dim_feedforward, name="linear1")(src)
+        ff = nn.Dropout(cfg.dropout)(nn.relu(ff), deterministic=deterministic)
+        ff = nn.Dense(cfg.d_model, name="linear2")(ff)
+        src = src + nn.Dropout(cfg.dropout)(ff, deterministic=deterministic)
+        return nn.LayerNorm(name="norm2")(src)
+
+
+class DecoderLayer(nn.Module):
+    cfg: TransformerConfig
+
+    @nn.compact
+    def __call__(self, tgt, memory, pos=None, query_pos=None,
+                 deterministic: bool = True):
+        cfg = self.cfg
+
+        def with_pos(x, p):
+            return x if p is None else x + p
+
+        # first attention: q from tgt(+query_pos), k/v from MEMORY — the
+        # reference's DETR-modified "self"-attn
+        # (/root/reference/transformer.py:245-250)
+        a1 = MultiHeadAttention(
+            cfg.d_model, cfg.nhead, cfg.dropout, name="self_attn"
+        )(with_pos(tgt, query_pos), with_pos(memory, pos), memory,
+          deterministic)
+        tgt = tgt + nn.Dropout(cfg.dropout)(a1, deterministic=deterministic)
+        tgt = nn.LayerNorm(name="norm1")(tgt)
+
+        a2 = MultiHeadAttention(
+            cfg.d_model, cfg.nhead, cfg.dropout, name="cross_attn"
+        )(with_pos(tgt, query_pos), with_pos(memory, pos), memory,
+          deterministic)
+        tgt = tgt + nn.Dropout(cfg.dropout)(a2, deterministic=deterministic)
+        tgt = nn.LayerNorm(name="norm2")(tgt)
+
+        ff = nn.Dense(cfg.dim_feedforward, name="linear1")(tgt)
+        ff = nn.Dropout(cfg.dropout)(nn.relu(ff), deterministic=deterministic)
+        ff = nn.Dense(cfg.d_model, name="linear2")(ff)
+        tgt = tgt + nn.Dropout(cfg.dropout)(ff, deterministic=deterministic)
+        return nn.LayerNorm(name="norm3")(tgt)
+
+
+class StyleTransformer(nn.Module):
+    """Full transformer: style/content encoders + cross decoder.
+
+    ``__call__(style_map, content_map)`` takes NHWC token maps from
+    PatchEmbed and returns the stylized token map NHWC (parity with
+    /root/reference/transformer.py:46-75 where content tokens serve as
+    their own positional embedding and the style stream has none).
+    """
+
+    cfg: TransformerConfig = TransformerConfig()
+
+    @nn.compact
+    def __call__(self, style: jnp.ndarray, content: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.cfg
+        b, hs, ws, c = style.shape
+        s = style.reshape(b, hs * ws, c)
+        ct = content.reshape(b, -1, c)
+        pos_c = ct  # content-aware positional embedding = content itself
+
+        for i in range(cfg.num_encoder_layers):
+            s = EncoderLayer(cfg, name=f"enc_s_{i}")(s, pos=None,
+                                                     deterministic=deterministic)
+        for i in range(cfg.num_encoder_layers):
+            ct = EncoderLayer(cfg, name=f"enc_c_{i}")(ct, pos=pos_c,
+                                                      deterministic=deterministic)
+        out = ct
+        for i in range(cfg.num_decoder_layers):
+            out = DecoderLayer(cfg, name=f"dec_{i}")(
+                out, s, pos=None, query_pos=pos_c, deterministic=deterministic
+            )
+        out = nn.LayerNorm(name="dec_norm")(out)
+        return out.reshape(b, hs, ws, c)

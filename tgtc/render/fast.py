@@ -1,0 +1,151 @@
+"""Fast fused render pipeline: Pallas trunk + XLA sampling/compositing.
+
+The bulk-render path (Phase B geometry dump, Phase F novel-view renders,
+benchmark) — replaces the reference's chunked ``batchify`` render loop
+(/root/reference/rendering.py:27-51) with one jitted program per ray block:
+
+    stratified sample → fused Pallas MLP (coarse) → composite →
+    inverse-CDF resample → fused Pallas MLP (fine) → composite
+
+Points are *built in feature-major layout* ``[3, R*S]`` directly from the
+ray tensors (no transpose of a large buffer), matching the kernel's VMEM
+tiling (see tgtc.ops.pallas.nerf_mlp).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tgtc.ops.composite import alpha_composite
+from tgtc.ops.pallas.nerf_mlp import fused_nerf_apply_t, pack_nerf_params
+from tgtc.ops.sampling import sample_along_rays_uniform, sample_pdf
+from tgtc.render.volume import RenderSettings
+
+
+def _points_t(rays_o: jnp.ndarray, rays_d: jnp.ndarray, ts: jnp.ndarray
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Build feature-major pts/dirs [3, R*S] from rays [R,3] + depths [R,S]."""
+    r, s = ts.shape
+    # [3, R, S] = [3, R, 1] + [1, R, S] * [3, R, 1]
+    o = rays_o.T[:, :, None]
+    d = rays_d.T[:, :, None]
+    pts = (o + ts[None] * d).reshape(3, r * s)
+    dirs = jnp.broadcast_to(d, (3, r, s)).reshape(3, r * s)
+    return pts, dirs
+
+
+def make_fused_render_fn(
+    settings: RenderSettings,
+    tile: int = 4096,
+    interpret: bool = False,
+):
+    """Build a jitted ``(w1c, w2c, encc, w1f, w2f, encf, rays_o, rays_d) ->
+    outputs`` render function using the fused trunk kernel for both passes.
+
+    Ray count must make R*(Nc) and R*(Nc+Nf) multiples of ``tile``
+    (R a multiple of tile works since Nc, Nc+Nf are powers of two / even).
+    """
+    nc, nf = settings.n_samples, settings.n_samples + settings.n_samples_fine
+
+    @jax.jit
+    def render(w1c, w2c, encc, w1f, w2f, encf, rays_o, rays_d):
+        r = rays_o.shape[0]
+        pts_c, ts = sample_along_rays_uniform(
+            rays_o, rays_d, nc, near=settings.near, far=settings.far
+        )
+        del pts_c  # rebuilt transposed
+        pt, dt = _points_t(rays_o, rays_d, ts)
+        rgb_t, sigma_t = fused_nerf_apply_t(
+            w1c, w2c, encc, pt, dt, tile=tile, interpret=interpret
+        )
+        rgb_c = rgb_t.reshape(3, r, nc).transpose(1, 2, 0)
+        sigma_c = sigma_t.reshape(r, nc)
+        comp_c = alpha_composite(rgb_c, sigma_c, ts,
+                                 white_bkgd=settings.white_bkgd)
+
+        ts_mid = 0.5 * (ts[..., 1:] + ts[..., :-1])
+        t_new = sample_pdf(ts_mid, comp_c.weights[..., 1:-1],
+                           settings.n_samples_fine)
+        ts_f = jnp.sort(jnp.concatenate([ts, t_new], axis=-1), axis=-1)
+
+        ptf, dtf = _points_t(rays_o, rays_d, ts_f)
+        rgb_t, sigma_t = fused_nerf_apply_t(
+            w1f, w2f, encf, ptf, dtf, tile=tile, interpret=interpret
+        )
+        rgb_f = rgb_t.reshape(3, r, nf).transpose(1, 2, 0)
+        sigma_f = sigma_t.reshape(r, nf)
+        comp_f = alpha_composite(rgb_f, sigma_f, ts_f,
+                                 white_bkgd=settings.white_bkgd)
+
+        return {
+            "rgb": comp_f.rgb,
+            "rgb_coarse": comp_c.rgb,
+            "t_exp": comp_f.t_exp,
+            "t_exp_coarse": comp_c.t_exp,
+            "acc": comp_f.acc,
+        }
+
+    return render
+
+
+@dataclasses.dataclass
+class FusedNerfRenderer:
+    """Convenience wrapper holding packed kernel weights for coarse+fine.
+
+    Build from trained flax params with :meth:`from_params`; call
+    :meth:`render` on flat ray blocks.
+    """
+
+    packed_coarse: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
+    packed_fine: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
+    settings: RenderSettings
+    tile: int = 4096
+    interpret: bool = False
+
+    def __post_init__(self):
+        self._fn = make_fused_render_fn(self.settings, self.tile, self.interpret)
+
+    @classmethod
+    def from_params(
+        cls,
+        params_coarse,
+        params_fine,
+        settings: RenderSettings,
+        depth: int = 8,
+        num_freq_coor: int = 10,
+        num_freq_dir: int = 4,
+        tile: int = 4096,
+        interpret: bool = False,
+    ) -> "FusedNerfRenderer":
+        pc = pack_nerf_params(params_coarse, depth=depth,
+                              num_freq_coor=num_freq_coor,
+                              num_freq_dir=num_freq_dir)
+        pf = pack_nerf_params(params_fine, depth=depth,
+                              num_freq_coor=num_freq_coor,
+                              num_freq_dir=num_freq_dir)
+        return cls(pc, pf, settings, tile=tile, interpret=interpret)
+
+    def render(self, rays_o: jnp.ndarray, rays_d: jnp.ndarray
+               ) -> Dict[str, jnp.ndarray]:
+        return self._fn(*self.packed_coarse, *self.packed_fine, rays_o, rays_d)
+
+    def render_image(self, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                     block: int = 16384) -> Dict[str, jnp.ndarray]:
+        """Arbitrary ray count by fixed blocks (pads the tail)."""
+        n = rays_o.shape[0]
+        outs = []
+        for start in range(0, n, block):
+            end = min(start + block, n)
+            bo, bd = rays_o[start:end], rays_d[start:end]
+            if end - start < block:
+                pad = block - (end - start)
+                bo = jnp.concatenate([bo, jnp.zeros((pad, 3), bo.dtype)], 0)
+                bd = jnp.concatenate([bd, jnp.ones((pad, 3), bd.dtype)], 0)
+            out = self.render(bo, bd)
+            outs.append(jax.tree.map(lambda x: x[: end - start], out))
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)

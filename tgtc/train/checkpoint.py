@@ -1,0 +1,53 @@
+"""Checkpointing via orbax.
+
+Replaces the reference's filename-substring checkpoint discovery and torch
+``.tar`` saves (/root/reference/train_tgtcs.py:56-82,284-305) with an orbax
+CheckpointManager: explicit step metadata, atomic saves, retention policy
+(``max_to_keep`` = reference ``ckp_num``), and pytree-native restore.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin wrapper over ocp.CheckpointManager for a single state pytree."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self._dir = os.path.abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self._dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state: Any, force: bool = False) -> None:
+        self._mgr.save(
+            step, args=ocp.args.StandardSave(state), force=force
+        )
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
+        """Restore into the structure of ``state_like`` (an abstract or
+        concrete pytree of the same shape)."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self._dir}")
+        target = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_like)
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(target)
+        )
+
+    def close(self) -> None:
+        self._mgr.close()
