@@ -22,21 +22,25 @@ import jax
 import jax.numpy as jnp
 
 from tgtc.models.nerf import NerfConfig
-from tgtc.parallel import get_mesh
-from tgtc.train.nerf_trainer import NerfTrainConfig, init_state, make_render_fn
+from tgtc.render.fast import FusedNerfRenderer
+from tgtc.render.volume import RenderSettings
+from tgtc.train.nerf_trainer import NerfTrainConfig, init_state
 
 ASSUMED_REF_RAYS_PER_SEC = 25_000.0
 
 H, W = 756, 1008
-BLOCK = 1 << 15  # rays per render call (32k rays x 192 samples fits HBM comfortably)
+BLOCK = 1 << 14  # rays per fused render call
 
 
 def main():
     nerf_cfg = NerfConfig()  # D=8, W=256, full positional encoding
     train_cfg = NerfTrainConfig(n_samples=64, n_samples_fine=64)
     cm, fm, state = init_state(jax.random.PRNGKey(0), nerf_cfg, train_cfg)
-    mesh = get_mesh()
-    render_fn = make_render_fn(cm, fm, train_cfg, mesh=mesh)
+    settings = RenderSettings(n_samples=64, n_samples_fine=64,
+                              sigma_noise_std=0.0)
+    rend = FusedNerfRenderer.from_params(
+        state.params_coarse, state.params_fine, settings
+    )
 
     key = jax.random.PRNGKey(1)
     rays_o = jax.random.uniform(key, (BLOCK, 3), minval=-1.0, maxval=1.0)
@@ -51,7 +55,7 @@ def main():
     fold = jax.jit(lambda acc, o: acc + jnp.sum(o["rgb"]))
 
     # warmup / compile
-    out = render_fn(state.params_coarse, state.params_fine, rays_o, rays_d)
+    out = rend.render(rays_o, rays_d)
     acc = fold(jnp.zeros(()), out)
     float(np.asarray(acc))
 
@@ -62,7 +66,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(reps):
         for _ in range(n_blocks):
-            out = render_fn(state.params_coarse, state.params_fine, rays_o, rays_d)
+            out = rend.render(rays_o, rays_d)
             acc = fold(acc, out)
     float(np.asarray(acc))  # hard sync
     dt = time.perf_counter() - t0

@@ -1,0 +1,33 @@
+"""CLI entry point.
+
+Usage parity with the reference (/root/reference/README.md:25-33):
+
+    python -m tgtc.cli --config configs/fern.txt
+    python -m tgtc.cli --config configs/fern.txt --render_valid_style
+    python -m tgtc.cli --config configs/fern.txt --render_train_style
+
+All reference flags (see tgtc.config.Config) are accepted; config files in
+the reference's ``key = value`` format load unchanged.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+from tgtc.config import load_config
+from tgtc.train.pipeline import Pipeline
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    cfg = load_config(argv)
+    pipe = Pipeline(cfg)
+    try:
+        pipe.run()
+    finally:
+        pipe.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,200 @@
+"""Phase-E dataset: device-resident stylized-scene tensors + batch gathers.
+
+Replaces ``StyleRaySampler_gen`` + ``LightDataLoader``
+(/root/reference/dataset.py:361-639,641-779), whose per-ray
+``__getitem__`` numpy indexing is a host bottleneck. Here every tensor
+(NeRF renders, stylized images per (style, frame), precomputed rays, style
+features) lives in HBM once; batches are pure gathers inside the jitted
+train step.
+
+Two streams (SURVEY.md §3.4):
+
+* **main** — uniform-random rays over (style, frame, pixel).
+* **coherent** — the same pixel block revisited across consecutive frames
+  (the mechanism behind the cross-view coherence loss,
+  /root/reference/dataset.py:734-779). The reference walks a shuffled
+  permutation block by block; we draw the pixel block from a counter-keyed
+  PRNG instead — the same distribution without storing a permutation.
+
+Counters follow the reference update rule: frame advances every batch;
+when a frame cycle completes the pixel block advances; when the pixel space
+is exhausted the style advances.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from tgtc.data.llff import LlffScene
+from tgtc.data.rays import rays_for_poses
+
+
+class StyleSceneData(struct.PyTreeNode):
+    """Device-resident Phase-E tensors (a pytree — passes straight into
+    jitted steps)."""
+
+    rays_o: jnp.ndarray          # [F, H, W, 3]
+    rays_d: jnp.ndarray          # [F, H, W, 3]
+    images: jnp.ndarray          # [F, H, W, 3]  NeRF renders (rgb_origin)
+    stylized: jnp.ndarray        # [S, F, H, W, 3] float32
+    style_features: jnp.ndarray  # [S, 1024]
+    near: float = struct.field(pytree_node=False, default=0.0)
+    far: float = struct.field(pytree_node=False, default=1.0)
+
+    @property
+    def style_num(self) -> int:
+        return self.stylized.shape[0]
+
+    @property
+    def frame_num(self) -> int:
+        return self.stylized.shape[1]
+
+    @property
+    def hw(self) -> Tuple[int, int]:
+        return self.images.shape[1], self.images.shape[2]
+
+
+def load_style_scene(
+    scene: LlffScene,
+    gen_dir: str,
+    stylized_dir: str,
+    use_ndc: bool = True,
+    pixel_alignment: bool = False,
+) -> StyleSceneData:
+    """Assemble Phase-E tensors from Phase-B renders (``gen_dir``) and
+    Phase-C stylized outputs (``stylized_dir`` with ``%03d.jpg`` frames and
+    ``stylized_data.npz``)."""
+    from PIL import Image
+
+    h, w, _ = scene.hwf
+    rgb_paths = sorted(Path(gen_dir).glob("rgb_*.png"))
+    images = np.stack(
+        [np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
+         for p in rgb_paths], 0,
+    )
+    f = images.shape[0]
+
+    npz = np.load(os.path.join(stylized_dir, "stylized_data.npz"),
+                  allow_pickle=True)
+    style_features = np.asarray(npz["style_features"], np.float32)
+    s = style_features.shape[0]
+    stylized = np.zeros((s, f, h, w, 3), np.float32)
+    for j in range(f):
+        # frame files are 1-indexed (reference /root/reference/dataset.py:482)
+        img = np.asarray(
+            Image.open(os.path.join(stylized_dir, f"{j + 1:03d}.jpg"))
+            .convert("RGB"), np.float32,
+        ) / 255.0
+        stylized[:, j] = img[None]
+
+    ro, rd = rays_for_poses(
+        h, w, jnp.asarray(scene.intrinsics), jnp.asarray(scene.poses),
+        use_ndc=use_ndc, pixel_alignment=pixel_alignment,
+    )
+    return StyleSceneData(
+        rays_o=ro, rays_d=rd,
+        images=jnp.asarray(images),
+        stylized=jnp.asarray(stylized),
+        style_features=jnp.asarray(style_features),
+        near=scene.near, far=scene.far,
+    )
+
+
+def synthetic_style_scene(key: jax.Array, s: int, f: int, h: int, w: int
+                          ) -> StyleSceneData:
+    """Random tiny instance for tests."""
+    ks = jax.random.split(key, 5)
+    return StyleSceneData(
+        rays_o=jax.random.uniform(ks[0], (f, h, w, 3)) - 0.5,
+        rays_d=jax.random.normal(ks[1], (f, h, w, 3)),
+        images=jax.random.uniform(ks[2], (f, h, w, 3)),
+        stylized=jax.random.uniform(ks[3], (s, f, h, w, 3)),
+        style_features=jax.random.normal(ks[4], (s, 1024)),
+        near=0.0, far=1.0,
+    )
+
+
+def gather_main_batch(data: StyleSceneData, key: jax.Array, batch: int
+                      ) -> Dict[str, jnp.ndarray]:
+    """Uniform-random main stream (inside jit)."""
+    s, f = data.style_num, data.frame_num
+    h, w = data.hw
+    idx = jax.random.randint(key, (batch,), 0, s * f * h * w)
+    style_id = idx // (f * h * w)
+    rem = idx % (f * h * w)
+    frame_id = rem // (h * w)
+    hid = (rem % (h * w)) // w
+    wid = rem % w
+    return {
+        "rays_o": data.rays_o[frame_id, hid, wid],
+        "rays_d": data.rays_d[frame_id, hid, wid],
+        "rgb_gt": data.stylized[style_id, frame_id, hid, wid],
+        "rgb_origin": data.images[frame_id, hid, wid],
+        "style_id": style_id,
+        "frame_id": frame_id,
+    }
+
+
+def gather_coh_batch(
+    data: StyleSceneData,
+    base_key: jax.Array,
+    style_start: jnp.ndarray,
+    frame_start: jnp.ndarray,
+    block: jnp.ndarray,
+    batch: int,
+) -> Dict[str, jnp.ndarray]:
+    """Coherent stream: pixel ids keyed on (style_start, block) so the SAME
+    pixels recur for every frame of one cycle (inside jit)."""
+    h, w = data.hw
+    pix_key = jax.random.fold_in(
+        jax.random.fold_in(base_key, style_start), block
+    )
+    pix = jax.random.randint(pix_key, (batch,), 0, h * w)
+    hid, wid = pix // w, pix % w
+    frame_id = jnp.broadcast_to(frame_start, (batch,))
+    style_id = jnp.broadcast_to(style_start, (batch,))
+    return {
+        "rays_o": data.rays_o[frame_id, hid, wid],
+        "rays_d": data.rays_d[frame_id, hid, wid],
+        "rgb_gt": data.stylized[style_id, frame_id, hid, wid],
+        "rgb_origin": data.images[frame_id, hid, wid],
+        "style_id": style_id,
+        "frame_id": frame_id,
+    }
+
+
+def advance_coh_counters(
+    style_start: jnp.ndarray,
+    frame_start: jnp.ndarray,
+    block: jnp.ndarray,
+    start: jnp.ndarray,
+    style_num: int,
+    frame_num: int,
+    batch: int,
+    hw: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The reference's counter-advance rule
+    (/root/reference/dataset.py:761-768)."""
+    next_style = (
+        (frame_start == frame_num - 1)
+        & (style_start != style_num - 1)
+        & (start >= hw)
+    )
+    advance_frame = frame_start != frame_num - 1
+    new_style = jnp.where(next_style, style_start + 1, style_start)
+    new_frame = jnp.where(
+        next_style, 0, jnp.where(advance_frame, frame_start + 1, 0)
+    )
+    wrap = (~next_style) & (~advance_frame)
+    new_start = jnp.where(next_style, 0,
+                          jnp.where(wrap, start + batch, start))
+    new_block = jnp.where(next_style, 0, jnp.where(wrap, block + 1, block))
+    return new_style, new_frame, new_block, new_start

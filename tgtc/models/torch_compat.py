@@ -1,0 +1,175 @@
+"""Torch → flax checkpoint converters for the reference's pretrained assets.
+
+The reference ships/produces torch state dicts (``vgg_normalised.pth``,
+``decoder.pth``, ``transformer_iter_*.pth``, ``embedding_iter_*.pth``,
+``vae.pth``, NeRF/style ``*.tar`` — /root/reference/config.py:22-24,
+/root/reference/train_tgtcs.py:284-305). These converters map them onto the
+flax module layouts in tgtc.models so published weights load directly
+(SURVEY.md §7 "weight-compatibility" hard part).
+
+Conventions: torch ``Linear.weight [out, in]`` → flax ``kernel [in, out]``
+(transpose); ``Conv2d OIHW`` → ``HWIO``; ``LayerNorm.weight/bias`` →
+``scale/bias``; torch ``nn.MultiheadAttention.in_proj_weight`` splits into
+q/k/v projections. All functions accept numpy arrays or torch tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _dense(w, b=None) -> Dict[str, jnp.ndarray]:
+    out = {"kernel": jnp.asarray(_np(w).T)}
+    if b is not None:
+        out["bias"] = jnp.asarray(_np(b))
+    return out
+
+
+def _layernorm(w, b) -> Dict[str, jnp.ndarray]:
+    return {"scale": jnp.asarray(_np(w)), "bias": jnp.asarray(_np(b))}
+
+
+def _mha(prefix: str, sd: Dict[str, Any]) -> Dict[str, Any]:
+    """torch nn.MultiheadAttention → tgtc MultiHeadAttention params."""
+    inw = _np(sd[f"{prefix}.in_proj_weight"])
+    inb = _np(sd[f"{prefix}.in_proj_bias"])
+    d = inw.shape[1]
+    return {
+        "q_proj": _dense(inw[:d], inb[:d]),
+        "k_proj": _dense(inw[d : 2 * d], inb[d : 2 * d]),
+        "v_proj": _dense(inw[2 * d :], inb[2 * d :]),
+        "out_proj": _dense(
+            sd[f"{prefix}.out_proj.weight"], sd[f"{prefix}.out_proj.bias"]
+        ),
+    }
+
+
+def convert_torch_transformer(
+    sd: Dict[str, Any], num_encoder_layers: int = 3,
+    num_decoder_layers: int = 3,
+) -> Dict[str, Any]:
+    """Reference ``Transformer`` state dict
+    (/root/reference/transformer.py:13-44) → tgtc StyleTransformer params.
+
+    The content encoder uses the fused ``qk`` projection, the style encoder
+    the fused ``qkv`` (selection logic at /root/reference/transformer.py:
+    172-177); the unused fused projection of each layer and the dead
+    ``new_ps`` conv are dropped.
+    """
+    params: Dict[str, Any] = {}
+    for i in range(num_encoder_layers):
+        for ours, theirs, fused in (
+            (f"enc_s_{i}", f"encoder_s.layers.{i}", "qkv"),
+            (f"enc_c_{i}", f"encoder_c.layers.{i}", "qk"),
+        ):
+            params[ours] = {
+                fused: _dense(sd[f"{theirs}.{fused}.weight"]),
+                "self_attn": _mha(f"{theirs}.self_attn", sd),
+                "linear1": _dense(sd[f"{theirs}.linear1.weight"],
+                                  sd[f"{theirs}.linear1.bias"]),
+                "linear2": _dense(sd[f"{theirs}.linear2.weight"],
+                                  sd[f"{theirs}.linear2.bias"]),
+                "norm1": _layernorm(sd[f"{theirs}.norm1.weight"],
+                                    sd[f"{theirs}.norm1.bias"]),
+                "norm2": _layernorm(sd[f"{theirs}.norm2.weight"],
+                                    sd[f"{theirs}.norm2.bias"]),
+            }
+    for i in range(num_decoder_layers):
+        theirs = f"decoder.layers.{i}"
+        params[f"dec_{i}"] = {
+            "self_attn": _mha(f"{theirs}.self_attn", sd),
+            "cross_attn": _mha(f"{theirs}.multihead_attn", sd),
+            "linear1": _dense(sd[f"{theirs}.linear1.weight"],
+                              sd[f"{theirs}.linear1.bias"]),
+            "linear2": _dense(sd[f"{theirs}.linear2.weight"],
+                              sd[f"{theirs}.linear2.bias"]),
+            "norm1": _layernorm(sd[f"{theirs}.norm1.weight"],
+                                sd[f"{theirs}.norm1.bias"]),
+            "norm2": _layernorm(sd[f"{theirs}.norm2.weight"],
+                                sd[f"{theirs}.norm2.bias"]),
+            "norm3": _layernorm(sd[f"{theirs}.norm3.weight"],
+                                sd[f"{theirs}.norm3.bias"]),
+        }
+    params["dec_norm"] = _layernorm(sd["decoder.norm.weight"],
+                                    sd["decoder.norm.bias"])
+    return {"params": params}
+
+
+def convert_torch_patch_embed(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference ``PatchEmbed`` (/root/reference/tctrans.py:13-33)."""
+    w = _np(sd["proj.weight"])  # OIHW
+    return {
+        "params": {
+            "proj": {
+                "kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
+                "bias": jnp.asarray(_np(sd["proj.bias"])),
+            }
+        }
+    }
+
+
+def convert_torch_vae(sd: Dict[str, Any], depth: int = 4) -> Dict[str, Any]:
+    """Reference ``VAE`` (/root/reference/models.py:371-473)."""
+    enc: Dict[str, Any] = {}
+    for i in range(depth - 1):
+        enc[f"fc_{i}"] = _dense(sd[f"encoder.fc_layers.{i}.weight"],
+                                sd[f"encoder.fc_layers.{i}.bias"])
+    enc["mu"] = _dense(sd["encoder.fc_layer_mu.weight"],
+                       sd["encoder.fc_layer_mu.bias"])
+    enc["logvar"] = _dense(sd["encoder.fc_layer_log_var.weight"],
+                           sd["encoder.fc_layer_log_var.bias"])
+    dec: Dict[str, Any] = {}
+    for i in range(depth - 1):
+        dec[f"fc_{i}"] = _dense(sd[f"decoder.fc_layers.{i}.weight"],
+                                sd[f"decoder.fc_layers.{i}.bias"])
+    dec["out"] = _dense(sd["decoder.output_layer.weight"],
+                        sd["decoder.output_layer.bias"])
+    return {"params": {"encoder": enc, "decoder": dec}}
+
+
+def convert_torch_nerf(sd: Dict[str, Any], depth: int = 8) -> Dict[str, Any]:
+    """Reference ``StyleNerf``/``MLP_style`` state dict
+    (/root/reference/models.py:63-117) → tgtc NerfMLP params. Accepts keys
+    with or without the ``net.`` prefix."""
+    def get(k):
+        return sd[f"net.{k}"] if f"net.{k}" in sd else sd[k]
+
+    p: Dict[str, Any] = {}
+    for i in range(depth):
+        p[f"base_{i}"] = _dense(get(f"base_layers.{i}.weight"),
+                                get(f"base_layers.{i}.bias"))
+    p["sigma"] = _dense(get("sigma_layer.weight"), get("sigma_layer.bias"))
+    p["base_remap"] = _dense(get("base_remap_layer.weight"),
+                             get("base_remap_layer.bias"))
+    p["rgb_0"] = _dense(get("rgb_layers.0.weight"), get("rgb_layers.0.bias"))
+    p["rgb_1"] = _dense(get("rgb_layers.1.weight"), get("rgb_layers.1.bias"))
+    return {"params": p}
+
+
+def convert_torch_style_mlps(
+    concat_sd: Dict[str, Any], style_sd: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Reference ``StyleMLP_before_concat`` / ``StyleMLP_Wild_multilayers``
+    (/root/reference/models.py:120-180)."""
+    concat = {
+        f"layer_{i}": _dense(concat_sd[f"layers.{i}.weight"],
+                             concat_sd[f"layers.{i}.bias"])
+        for i in range(len([k for k in concat_sd if k.endswith(".weight")]))
+    }
+    n_style = len([k for k in style_sd if k.endswith(".weight")])
+    style: Dict[str, Any] = {}
+    for i in range(n_style - 1):
+        style[f"layer_{i}"] = _dense(style_sd[f"layers.{i}.weight"],
+                                     style_sd[f"layers.{i}.bias"])
+    style["rgb_out"] = _dense(style_sd[f"layers.{n_style - 1}.weight"],
+                              style_sd[f"layers.{n_style - 1}.bias"])
+    return {"concat": {"params": concat}, "style": {"params": style}}

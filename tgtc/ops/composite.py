@@ -64,3 +64,59 @@ def alpha_composite(
         rgb_exp = rgb_exp + (1.0 - acc[..., None])
 
     return CompositeOutput(rgb=rgb_exp, t_exp=t_exp, weights=weights, acc=acc)
+
+
+def alpha_composite_wild(
+    rgb: jnp.ndarray,
+    sigma: jnp.ndarray,
+    t_values: jnp.ndarray,
+    transient_rgb: jnp.ndarray,
+    transient_sigma: jnp.ndarray,
+    transient_beta: jnp.ndarray,
+    beta_min: float = 0.03,
+    noise_std: float = 0.0,
+    key: Optional[jax.Array] = None,
+    white_bkgd: bool = False,
+):
+    """NeRF-in-the-Wild static+transient compositing with beta uncertainty.
+
+    Parity with ``alpha_composition_wild`` (/root/reference/utils.py:389-432,
+    dead on the reference's main path but part of its capability surface).
+    Returns (rgb_exp, t_exp, weights, beta_exp).
+    """
+    delta = t_values[..., 1:] - t_values[..., :-1]
+    delta = jnp.concatenate([delta, jnp.full_like(delta[..., :1], 1e10)], -1)
+
+    if key is not None and noise_std > 0.0:
+        sigma = sigma + jax.random.normal(key, sigma.shape, sigma.dtype) * noise_std
+
+    sigma_static = jax.nn.relu(sigma)
+    alpha_static = 1.0 - jnp.exp(-sigma_static * delta)
+
+    sigma_tr = jax.nn.relu(transient_sigma)
+    alpha_tr = 1.0 - jnp.exp(-sigma_tr * delta)
+    trans_tr = jnp.cumprod(1.0 - alpha_tr + 1e-10, axis=-1)
+    trans_tr = jnp.concatenate(
+        [jnp.ones_like(trans_tr[..., :1]), trans_tr[..., :-1]], -1
+    )
+    beta_exp = jnp.sum(
+        trans_tr[..., None] * alpha_tr[..., None]
+        * jax.nn.relu(transient_beta), axis=-2,
+    ) + beta_min
+
+    sigma_both = sigma_static + sigma_tr
+    alpha_both = 1.0 - jnp.exp(-sigma_both * delta)
+    trans_both = jnp.cumprod(1.0 - alpha_both + 1e-10, axis=-1)
+    trans_both = jnp.concatenate(
+        [jnp.ones_like(trans_both[..., :1]), trans_both[..., :-1]], -1
+    )
+    rgb_exp = jnp.sum(
+        trans_both[..., None] * alpha_static[..., None] * rgb
+        + trans_both[..., None] * alpha_tr[..., None] * transient_rgb,
+        axis=-2,
+    )
+    weights = alpha_both * trans_both
+    t_exp = jnp.sum(weights * t_values, axis=-1)
+    if white_bkgd:
+        rgb_exp = rgb_exp + (1.0 - jnp.sum(weights, -1)[..., None])
+    return rgb_exp, t_exp, weights, beta_exp

@@ -26,8 +26,11 @@ def cosine_similarity(a: jnp.ndarray, b: jnp.ndarray, axis: int = -1,
                       eps: float = 1e-8) -> jnp.ndarray:
     """Per-element cosine similarity along ``axis`` (torch.F.cosine_similarity
     semantics; used by the Phase-E cross-view coherence loss,
-    /root/reference/train_tgtcs.py:401)."""
+    /root/reference/train_tgtcs.py:401).
+
+    The eps lives INSIDE the sqrt so the gradient stays finite at zero
+    vectors (a ``where``-masked loss still differentiates this branch)."""
     dot = jnp.sum(a * b, axis=axis)
-    na = jnp.sqrt(jnp.sum(a * a, axis=axis))
-    nb = jnp.sqrt(jnp.sum(b * b, axis=axis))
-    return dot / jnp.maximum(na * nb, eps)
+    na = jnp.sqrt(jnp.sum(a * a, axis=axis) + eps * eps)
+    nb = jnp.sqrt(jnp.sum(b * b, axis=axis) + eps * eps)
+    return dot / (na * nb)

@@ -33,9 +33,13 @@ def _to8b(x: np.ndarray) -> np.ndarray:
 
 
 def save_png(path: str, img: np.ndarray) -> None:
-    from PIL import Image
+    """Async native PNG write (tgtc.utils.native thread pool) so host encode
+    overlaps the next frame's device render; PIL fallback inside."""
+    from tgtc.utils import native
 
-    Image.fromarray(img).save(path)
+    if img.ndim == 2:
+        img = img[..., None]
+    native.write_png_async(path, img)
 
 
 def dump_geometry(
@@ -98,4 +102,9 @@ def dump_geometry(
         near=np.float32(scene.near),
         far=np.float32(scene.far),
     )
+    from tgtc.utils import native
+
+    errs = native.wait_writes()
+    if errs:
+        raise IOError(f"{errs} async png writes failed in {out_dir}")
     return out_dir

@@ -43,6 +43,9 @@ class NerfTrainConfig:
     near: float = 0.0
     far: float = 1.0
     white_bkgd: bool = False
+    steps_per_opt: int = 1  # gradient accumulation (reference flag
+    #                         --steps_per_opt, /root/reference/config.py:111,
+    #                         declared but never wired there — functional here)
 
     def render_settings(self, perturb: bool) -> RenderSettings:
         return RenderSettings(
@@ -66,7 +69,10 @@ class NerfTrainState(struct.PyTreeNode):
 def make_optimizer(cfg: NerfTrainConfig) -> optax.GradientTransformation:
     schedule = lambda step: cfg.lrate * (0.1 ** (step / cfg.lrate_decay))
     # Adam(betas=.9/.999) parity: /root/reference/train_tgtcs.py:39
-    return optax.adam(learning_rate=schedule)
+    tx = optax.adam(learning_rate=schedule)
+    if cfg.steps_per_opt > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.steps_per_opt)
+    return tx
 
 
 def init_state(

@@ -1,0 +1,597 @@
+"""The end-to-end phase state machine (orchestrator).
+
+Rebuild of the reference's ``train()`` dispatch
+(/root/reference/train_tgtcs.py:13-197,573-597): the newest checkpoint's
+global step decides the phase; artifacts on disk (geometry dump, stylized
+images, VAE) gate the 2D pipeline. Unlike the reference — which ``exit(0)``s
+after Phase E and relies on an outer ``while True`` process restart — the
+phases here run in sequence inside one process, while remaining fully
+re-entrant: kill it anywhere, rerun, and it resumes from checkpoints and
+existing artifacts exactly like the reference's crash-restart story
+(SURVEY.md §5 failure detection).
+
+Phases:
+  A  NeRF pretraining            (tgtc.train.nerf_trainer)
+  B  geometry dump               (tgtc.train.geometry)
+  C1 transformer pretrain        (tgtc.train.transformer2d)
+  C2 decoder temporal finetune   (tgtc.train.temporal)
+  C3 bulk stylize + features     (tgtc.train.stylize)
+  D  VAE + latent-table seeding  (tgtc.train.vae_trainer)
+  E  3D style distillation       (tgtc.train.style3d)
+  F  stylized renders            (tgtc.train.render_style)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tgtc.config import Config
+from tgtc.data.llff import LlffScene, load_llff_data
+from tgtc.data.rays import rays_for_poses
+from tgtc.models.nerf import NerfConfig
+from tgtc.models.stytrans import make_stytrans
+from tgtc.models.transformer import TransformerConfig
+from tgtc.models.vae import VaeConfig
+from tgtc.parallel import get_mesh
+from tgtc.train.checkpoint import CheckpointManager
+from tgtc.utils.logging import MetricsLogger, SegmentTimer
+
+
+def _list_images(d: str) -> List[str]:
+    exts = (".jpg", ".jpeg", ".png", ".JPG", ".PNG", ".JPEG")
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(exts)
+    )
+
+
+def _load_image(path: str, size=None) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if size is not None:
+        img = img.resize(size, Image.BILINEAR)
+    return np.asarray(img, np.float32) / 255.0
+
+
+def _random_crop_batch(rng, paths, batch, patch=256, resize=512):
+    """Reference train_transform: resize (512,512) + RandomCrop(256)
+    (/root/reference/trans_train.py:20-26)."""
+    out = np.zeros((batch, patch, patch, 3), np.float32)
+    for i in range(batch):
+        img = _load_image(paths[rng.integers(len(paths))], (resize, resize))
+        y = rng.integers(0, resize - patch + 1)
+        x = rng.integers(0, resize - patch + 1)
+        out[i] = img[y : y + patch, x : x + patch]
+    return out
+
+
+class Pipeline:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.exp_dir = cfg.exp_dir
+        os.makedirs(self.exp_dir, exist_ok=True)
+        self.mesh = get_mesh()
+        self.log = MetricsLogger(os.path.join(self.exp_dir, "logs"))
+        self.timer = SegmentTimer()
+
+        self.scene: LlffScene = load_llff_data(
+            cfg.datadir, int(cfg.factor) if cfg.factor else 1,
+            spherify=cfg.spherify,
+        )
+        if cfg.no_ndc:
+            self.near = float(self.scene.bds.min()) * 0.9
+            self.far = float(self.scene.bds.max())
+        else:
+            self.near, self.far = 0.0, 1.0
+        self.scene.near, self.scene.far = self.near, self.far
+
+        self.nerf_cfg = NerfConfig(
+            depth=cfg.netdepth, width=cfg.netwidth,
+            embed_freq_coor=cfg.embed_freq_coor,
+            embed_freq_dir=cfg.embed_freq_dir,
+            use_viewdir=cfg.use_viewdir, act_type=cfg.act_type,
+            siren_sigma_mul=cfg.siren_sigma_mul,
+        )
+        # override for tests / small runs before calling phase methods
+        self.trans_cfg = TransformerConfig()
+        self.vae_iters = 2000
+        self.vae_patch = 256
+        self.gen_dir = os.path.join(self.exp_dir, "nerf_gen_data2")
+        self.stylized_dir = os.path.join(
+            cfg.datadir, f"stylized_gen_{cfg.factor}"
+        )
+        self.trans_ckpt = CheckpointManager(
+            os.path.join(self.exp_dir, "ckpt_trans"), max_to_keep=2
+        )
+        self.nerf_ckpt = CheckpointManager(
+            os.path.join(self.exp_dir, "ckpt_nerf"), max_to_keep=cfg.ckp_num
+        )
+        self.style_ckpt = CheckpointManager(
+            os.path.join(self.exp_dir, "ckpt_style"), max_to_keep=cfg.ckp_num
+        )
+        self.vae_ckpt = CheckpointManager(
+            os.path.join(self.exp_dir, "ckpt_vae"), max_to_keep=1
+        )
+
+    # ------------------------------------------------------------- phase A
+
+    def _nerf_setup(self):
+        from tgtc.train.nerf_trainer import NerfTrainConfig, init_state
+
+        cfg = self.cfg
+        train_cfg = NerfTrainConfig(
+            batch_size=cfg.batch_size, lrate=cfg.lrate,
+            lrate_decay=cfg.lrate_decay, n_samples=cfg.N_samples,
+            n_samples_fine=cfg.N_samples_fine,
+            sigma_noise_std=cfg.sigma_noise_std,
+            near=self.near, far=self.far, white_bkgd=cfg.white_bkgd,
+        )
+        cm, fm, state = init_state(
+            jax.random.PRNGKey(cfg.seed), self.nerf_cfg, train_cfg
+        )
+        if self.nerf_ckpt.latest_step() is not None and not cfg.no_reload:
+            state = self.nerf_ckpt.restore(state)
+        # replicate over the mesh so mesh-annotated steps accept the params
+        from tgtc.parallel.mesh import replicated_sharding
+
+        state = jax.device_put(state, replicated_sharding(self.mesh))
+        return cm, fm, state, train_cfg
+
+    def train_nerf(self) -> None:
+        """Phase A (reference ``Origin_train``,
+        /root/reference/train_tgtcs.py:218-309)."""
+        from tgtc.ops.losses import mse2psnr
+        from tgtc.train.nerf_trainer import make_train_step
+
+        cfg = self.cfg
+        cm, fm, state, train_cfg = self._nerf_setup()
+        if int(state.step) >= cfg.origin_step:
+            return
+
+        h, w, _ = self.scene.hwf
+        ro, rd = rays_for_poses(
+            h, w, jnp.asarray(self.scene.intrinsics),
+            jnp.asarray(self.scene.poses), use_ndc=not cfg.no_ndc,
+            pixel_alignment=cfg.pixel_alignment,
+        )
+        rays_o = jnp.reshape(ro, (-1, 3))
+        rays_d = jnp.reshape(rd, (-1, 3))
+        rgb_gt = jnp.reshape(jnp.asarray(self.scene.images), (-1, 3))
+
+        step_fn = make_train_step(cm, fm, train_cfg, mesh=self.mesh)
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        self.timer.start("model")
+        while int(state.step) < cfg.origin_step:
+            state, metrics = step_fn(state, rays_o, rays_d, rgb_gt, key)
+            step = int(state.step)
+            if step % cfg.i_print == 0:
+                self.timer.start("log")
+                m = {k: float(v) for k, v in metrics.items()}
+                m.update(self.timer.report_and_reset())
+                self.log.log(step, m, prefix="ORIGIN TRAIN")
+                self.timer.start("model")
+            if step % 500 == 0 or step >= cfg.origin_step:
+                self.nerf_ckpt.save(step, jax.device_get(state))
+        self._nerf_state = state
+
+    # ------------------------------------------------------------- phase B
+
+    def ensure_geometry(self) -> None:
+        from tgtc.render.fast import FusedNerfRenderer
+        from tgtc.render.volume import RenderSettings
+        from tgtc.train.geometry import dump_geometry
+        from tgtc.train.nerf_trainer import make_render_fn, render_image
+
+        if os.path.exists(os.path.join(self.gen_dir, "geometry.npz")):
+            return
+        cfg = self.cfg
+        cm, fm, state, train_cfg = self._nerf_setup()
+        settings = RenderSettings(
+            n_samples=cfg.N_samples, n_samples_fine=cfg.N_samples_fine,
+            near=self.near, far=self.far, sigma_noise_std=0.0,
+            white_bkgd=cfg.white_bkgd,
+        )
+        if cfg.use_pallas and jax.default_backend() != "cpu":
+            renderer = FusedNerfRenderer.from_params(
+                state.params_coarse, state.params_fine, settings,
+                num_freq_coor=cfg.embed_freq_coor,
+                num_freq_dir=cfg.embed_freq_dir, depth=cfg.netdepth,
+            )
+        else:
+            render_fn = make_render_fn(cm, fm, train_cfg, mesh=self.mesh)
+
+            class _R:
+                def render_image(_, ro, rd, block=16384):
+                    return render_image(
+                        render_fn, state.params_coarse, state.params_fine,
+                        ro, rd, block,
+                    )
+
+            renderer = _R()
+        dump_geometry(
+            renderer, self.scene, self.gen_dir,
+            use_ndc=not cfg.no_ndc, pixel_alignment=cfg.pixel_alignment,
+        )
+
+    # ------------------------------------------------------------- phase C
+
+    def _stytrans_setup(self):
+        model, params = make_stytrans(
+            jax.random.PRNGKey(self.cfg.seed + 2), self.trans_cfg,
+            image_size=32,
+        )
+        return model, params
+
+    def ensure_style2d(self, c1_iters: Optional[int] = None,
+                       c2_iters: Optional[int] = None) -> None:
+        """C1 transformer pretrain → C2 temporal decoder finetune → C3 bulk
+        stylize (reference ``train_temporal_invoke``,
+        /root/reference/train_style_modules.py:309-533)."""
+        if os.path.exists(os.path.join(self.stylized_dir, "stylized_data.npz")):
+            return
+        from tgtc.ops.rasterize import llff_projection_matrix
+        from tgtc.train.stylize import stylize_directory
+        from tgtc.train.temporal import (
+            TemporalTrainConfig, make_temporal_train_step, sample_patch,
+        )
+        from tgtc.train.transformer2d import (
+            TransformerTrainConfig,
+            init_transformer_train,
+            make_transformer_train_step,
+        )
+
+        cfg = self.cfg
+        rng = np.random.default_rng(cfg.seed)
+        model, params = self._stytrans_setup()
+
+        content_paths = _list_images(self.gen_dir)
+        content_paths = [p for p in content_paths
+                         if "depth" not in p and "geometry" not in p]
+        style_paths = _list_images(cfg.styledir)
+        assert content_paths and style_paths
+
+        # ---- C1
+        from tgtc.parallel.mesh import replicated_sharding
+
+        tcfg = TransformerTrainConfig(max_iter=c1_iters or 5000)
+        tstate = init_transformer_train(params, tcfg)
+        if self.trans_ckpt.latest_step() is not None:
+            tstate = self.trans_ckpt.restore(tstate)
+        tstate = jax.device_put(tstate, replicated_sharding(self.mesh))
+        if int(tstate.step) < tcfg.max_iter:
+            step_fn = make_transformer_train_step(model, tcfg, mesh=self.mesh)
+            key = jax.random.PRNGKey(cfg.seed + 3)
+            while int(tstate.step) < tcfg.max_iter:
+                content = jnp.asarray(_random_crop_batch(
+                    rng, content_paths, tcfg.batch_size, tcfg.patch))
+                style = jnp.asarray(_random_crop_batch(
+                    rng, style_paths, tcfg.batch_size, tcfg.patch))
+                tstate, m = step_fn(tstate, content, style, key)
+                step = int(tstate.step)
+                if step % 100 == 0:
+                    self.log.log(step, m, prefix="TRANS TRAIN")
+                if step % 1000 == 0 or step >= tcfg.max_iter:
+                    self.trans_ckpt.save(step, jax.device_get(tstate))
+
+        # ---- C2 (decoder finetune with temporal loss)
+        h, w, focal = self.scene.hwf
+        proj = jnp.asarray(llff_projection_matrix(h, w, focal))
+        ccfg = TemporalTrainConfig(max_iter=c2_iters or 100)
+        cstep = make_temporal_train_step(
+            model, ccfg, proj, h, w, is_ndc=not cfg.no_ndc, focal=focal,
+        )
+        geo = np.load(os.path.join(self.gen_dir, "geometry.npz"))
+        coor_maps, cps = geo["coor_maps"], geo["cps"]
+        renders = np.stack(
+            [_load_image(p) for p in content_paths], 0
+        )
+        style0 = _load_image(style_paths[0], (512, 512))
+        from tgtc.train.transformer2d import init_transformer_train as _init
+
+        c2state = _init(tstate.params, TransformerTrainConfig(lr=ccfg.lr),
+                        train_keys=("decode",))
+        c2state = c2state.replace(step=jnp.zeros((), jnp.int32))
+        key = jax.random.PRNGKey(cfg.seed + 4)
+        patch = min(ccfg.patch, h, w)
+        for i in range(ccfg.max_iter):
+            y0, x0 = sample_patch(rng, h, w, patch)
+            ids = rng.integers(0, renders.shape[0], ccfg.batch_size)
+            content = jnp.asarray(
+                renders[ids][:, y0 : y0 + patch, x0 : x0 + patch])
+            coor = jnp.asarray(
+                coor_maps[ids][:, y0 : y0 + patch, x0 : x0 + patch])
+            sy = rng.integers(0, 512 - patch + 1)
+            sx = rng.integers(0, 512 - patch + 1)
+            style = jnp.asarray(
+                np.broadcast_to(
+                    style0[None, sy : sy + patch, sx : sx + patch],
+                    (ccfg.batch_size, patch, patch, 3),
+                ).copy()
+            )
+            c2state, m = cstep(
+                c2state, content, coor, jnp.asarray(cps[ids]), style,
+                (y0, x0), key,
+            )
+            if (i + 1) % 20 == 0:
+                self.log.log(i + 1, m, prefix="TEMPORAL")
+
+        # ---- C3 bulk stylize
+        style_img = _load_image(style_paths[0])
+        stylize_directory(
+            model, c2state.params, self.gen_dir, style_img,
+            os.path.basename(style_paths[0]), self.stylized_dir,
+        )
+        self.trans_ckpt.save(
+            int(tstate.step) + ccfg.max_iter, jax.device_get(c2state),
+            force=True,
+        )
+
+    # ------------------------------------------------------------- phase D
+
+    def ensure_vae(self, iters: Optional[int] = None):
+        """Train (or restore) the style-feature VAE
+        (reference ``train_vae``, /root/reference/train_style_modules.py:249-303)."""
+        from tgtc.models.vgg import make_vgg
+        from tgtc.train.vae_trainer import (
+            VaeTrainConfig, init_vae_train, make_vae_train_step,
+            vgg_style_feature,
+        )
+
+        cfg = self.cfg
+        vae_cfg = VaeConfig(
+            data_dim=cfg.style_feature_dim, latent_dim=cfg.vae_latent,
+            width=cfg.vae_w, depth=cfg.vae_d, kl_lambda=cfg.vae_kl_lambda,
+        )
+        tcfg = VaeTrainConfig(
+            max_iter=iters if iters is not None else self.vae_iters
+        )
+        model, vstate = init_vae_train(
+            jax.random.PRNGKey(cfg.seed + 5), vae_cfg, tcfg
+        )
+        if self.vae_ckpt.latest_step() is not None:
+            vstate = self.vae_ckpt.restore(vstate)
+            return model, vstate
+        vgg, vgg_params = make_vgg(jax.random.PRNGKey(0), image_size=64)
+        style_paths = _list_images(cfg.styledir)
+        rng = np.random.default_rng(cfg.seed)
+        step_fn = make_vae_train_step(model, tcfg)
+
+        def _fit_dim(x):
+            # VGG features are 1024-d; crop/pad to the configured
+            # style_feature_dim (a no-op at the reference's 1024)
+            d = cfg.style_feature_dim
+            if x.shape[-1] >= d:
+                return x[:, :d]
+            return jnp.pad(x, ((0, 0), (0, d - x.shape[-1])))
+
+        feat_fn = jax.jit(
+            lambda imgs: _fit_dim(vgg_style_feature(vgg, vgg_params, imgs))
+        )
+        key = jax.random.PRNGKey(cfg.seed + 6)
+        patch = self.vae_patch
+        for i in range(tcfg.max_iter):
+            imgs = jnp.asarray(_random_crop_batch(
+                rng, style_paths, tcfg.batch_size, patch,
+                resize=max(2 * patch, patch)))
+            x = feat_fn(imgs)
+            vstate, m = step_fn(vstate, x, key)
+            if (i + 1) % 500 == 0:
+                self.log.log(i + 1, m, prefix="VAE")
+        self.vae_ckpt.save(int(vstate.step), jax.device_get(vstate))
+        return model, vstate
+
+    # ------------------------------------------------------------- phase E
+
+    def train_style3d(self) -> None:
+        from tgtc.data.style_dataset import load_style_scene
+        from tgtc.models.style_field import StyleFieldConfig
+        from tgtc.train.style3d import (
+            StyleTrainConfig, init_style_state, make_style_train_step,
+        )
+        from tgtc.train.vae_trainer import seed_latents_from_features
+
+        cfg = self.cfg
+        cm, fm, nstate, _ = self._nerf_setup()
+        data = load_style_scene(
+            self.scene, self.gen_dir, self.stylized_dir,
+            use_ndc=not cfg.no_ndc, pixel_alignment=cfg.pixel_alignment,
+        )
+        vae, vstate = self.ensure_vae()
+        lat_init = seed_latents_from_features(
+            jax.random.PRNGKey(cfg.seed + 7), vae, vstate.params,
+            data.style_features, data.frame_num,
+        )
+
+        field = StyleFieldConfig(
+            style_d=cfg.style_D, width=cfg.netwidth,
+            latent_dim=cfg.vae_latent, embed_dim=self.nerf_cfg.input_ch,
+        )
+        scfg = StyleTrainConfig(
+            batch_size=cfg.batch_size_style, n_samples=cfg.N_samples,
+            n_samples_fine=cfg.N_samples_fine, near=self.near, far=self.far,
+            sigma_noise_std=cfg.sigma_noise_std, lrate=cfg.lrate,
+            rgb_loss_lambda=cfg.rgb_loss_lambda,
+            logp_loss_lambda=cfg.logp_loss_lambda,
+            logp_loss_decay=cfg.logp_loss_decay,
+            loss_coh_lambda=cfg.loss_coh_lambda,
+            sigma_scale=cfg.sigma_scale,
+            origin_step=cfg.origin_step,
+            dataset_type=cfg.dataset_type,
+        )
+        concat_model, style_model, sstate = init_style_state(
+            jax.random.PRNGKey(cfg.seed + 8), field, scfg,
+            data.style_num, data.frame_num, latents_init=lat_init,
+        )
+        from tgtc.parallel.mesh import replicated_sharding
+
+        if self.style_ckpt.latest_step() is not None and not cfg.no_reload:
+            sstate = self.style_ckpt.restore(sstate)
+        sstate = jax.device_put(sstate, replicated_sharding(self.mesh))
+        if int(sstate.step) >= cfg.total_step:
+            self._style = (concat_model, style_model, sstate)
+            return
+
+        step_fn = make_style_train_step(
+            cm, fm, nstate.params_coarse, nstate.params_fine,
+            concat_model, style_model, scfg,
+        )
+        key = jax.random.PRNGKey(cfg.seed + 9)
+        while int(sstate.step) < cfg.total_step:
+            sstate, metrics = step_fn(sstate, data, key)
+            step = int(sstate.step)
+            if step % cfg.i_print == 0:
+                self.log.log(step, metrics, prefix="STYLE TRAIN")
+            if step % 500 == 0 or step >= cfg.total_step:
+                self.style_ckpt.save(step, jax.device_get(sstate))
+        self._style = (concat_model, style_model, sstate)
+
+    # ------------------------------------------------------------- phase F
+
+    def render_stylized(self, poses: str = "valid") -> str:
+        """--render_valid_style / --render_train_style
+        (/root/reference/rendering.py:93-239,242-376)."""
+        from tgtc.data.style_dataset import load_style_scene
+        from tgtc.models.style_field import StyleFieldConfig
+        from tgtc.train.render_style import (
+            make_stylized_render_fn, render_stylized_views,
+        )
+        from tgtc.train.style3d import StyleTrainConfig, init_style_state
+
+        cfg = self.cfg
+        cm, fm, nstate, _ = self._nerf_setup()
+        data = load_style_scene(
+            self.scene, self.gen_dir, self.stylized_dir,
+            use_ndc=not cfg.no_ndc, pixel_alignment=cfg.pixel_alignment,
+        )
+        field = StyleFieldConfig(
+            style_d=cfg.style_D, width=cfg.netwidth,
+            latent_dim=cfg.vae_latent, embed_dim=self.nerf_cfg.input_ch,
+        )
+        scfg = StyleTrainConfig(
+            batch_size=cfg.batch_size_style, near=self.near, far=self.far,
+            n_samples=cfg.N_samples, n_samples_fine=cfg.N_samples_fine,
+        )
+        from tgtc.parallel.mesh import replicated_sharding
+
+        concat_model, style_model, sstate = init_style_state(
+            jax.random.PRNGKey(0), field, scfg, data.style_num, data.frame_num
+        )
+        sstate = self.style_ckpt.restore(sstate)
+        sstate = jax.device_put(sstate, replicated_sharding(self.mesh))
+
+        h, w, _ = self.scene.hwf
+        pose_arr = (
+            self.scene.render_poses if poses == "valid" else self.scene.poses
+        )
+        ro, rd = rays_for_poses(
+            h, w, jnp.asarray(self.scene.intrinsics), jnp.asarray(pose_arr),
+            use_ndc=not cfg.no_ndc, pixel_alignment=cfg.pixel_alignment,
+        )
+        render_fn = make_stylized_render_fn(
+            cm, fm, concat_model, style_model,
+            cfg.N_samples, cfg.N_samples_fine, self.near, self.far,
+            sigma_scale=cfg.sigma_scale,
+            llff_tile=cfg.dataset_type == "llff",
+        )
+        out_dir = os.path.join(
+            self.exp_dir, f"render_{poses}_style"
+        )
+        latent_state = {
+            "latents": sstate.params["latents"],
+            "mu": sstate.mu, "logvar": sstate.logvar,
+        }
+        render_stylized_views(
+            render_fn, nstate.params_coarse, nstate.params_fine,
+            {"concat": sstate.params["concat"], "style": sstate.params["style"]},
+            latent_state, ro, rd, range(data.style_num), out_dir,
+            jax.random.PRNGKey(cfg.seed + 10),
+        )
+        return out_dir
+
+    def render_plain(self, poses: str = "valid") -> str:
+        """--render_valid / --render_train: plain NeRF renders
+        (rgb + normalized depth) at spiral or training poses."""
+        from tgtc.render.fast import FusedNerfRenderer
+        from tgtc.render.volume import RenderSettings
+        from tgtc.train.nerf_trainer import make_render_fn, render_image
+        from tgtc.utils import native
+
+        cfg = self.cfg
+        cm, fm, state, train_cfg = self._nerf_setup()
+        settings = RenderSettings(
+            n_samples=cfg.N_samples, n_samples_fine=cfg.N_samples_fine,
+            near=self.near, far=self.far, sigma_noise_std=0.0,
+            white_bkgd=cfg.white_bkgd,
+        )
+        use_fused = cfg.use_pallas and jax.default_backend() != "cpu"
+        if use_fused:
+            renderer = FusedNerfRenderer.from_params(
+                state.params_coarse, state.params_fine, settings,
+                num_freq_coor=cfg.embed_freq_coor,
+                num_freq_dir=cfg.embed_freq_dir, depth=cfg.netdepth,
+            )
+            rfn = renderer.render_image
+        else:
+            xla_fn = make_render_fn(cm, fm, train_cfg, mesh=self.mesh)
+            rfn = lambda ro, rd, block=16384: render_image(
+                xla_fn, state.params_coarse, state.params_fine, ro, rd, block
+            )
+
+        h, w, _ = self.scene.hwf
+        pose_arr = (
+            self.scene.render_poses if poses == "valid" else self.scene.poses
+        )
+        ro, rd = rays_for_poses(
+            h, w, jnp.asarray(self.scene.intrinsics), jnp.asarray(pose_arr),
+            use_ndc=not cfg.no_ndc, pixel_alignment=cfg.pixel_alignment,
+        )
+        out_dir = os.path.join(self.exp_dir, f"render_{poses}")
+        os.makedirs(out_dir, exist_ok=True)
+        for i in range(pose_arr.shape[0]):
+            path = os.path.join(out_dir, f"rgb_{i:05d}.png")
+            if os.path.exists(path):
+                continue
+            out = rfn(jnp.reshape(ro[i], (-1, 3)), jnp.reshape(rd[i], (-1, 3)))
+            rgb = np.clip(np.asarray(out["rgb"]).reshape(h, w, 3), 0, 1)
+            t = np.asarray(out["t_exp"]).reshape(h, w)
+            t = (t - t.min()) / (t.max() - t.min() + 1e-7)
+            native.write_png_async(path, rgb)
+            native.write_png_async(
+                os.path.join(out_dir, f"depth_{i:05d}.png"), t[..., None]
+            )
+        errs = native.wait_writes()
+        if errs:
+            raise IOError(f"{errs} async png writes failed in {out_dir}")
+        return out_dir
+
+    # ----------------------------------------------------------------- run
+
+    def run(self) -> None:
+        cfg = self.cfg
+        if cfg.render_valid_style:
+            self.render_stylized("valid")
+            return
+        if cfg.render_train_style:
+            self.render_stylized("train")
+            return
+        if cfg.render_valid:
+            self.render_plain("valid")
+            return
+        if cfg.render_train:
+            self.render_plain("train")
+            return
+        self.train_nerf()
+        self.ensure_geometry()
+        self.ensure_style2d()
+        self.train_style3d()
+
+    def close(self):
+        for m in (self.nerf_ckpt, self.style_ckpt, self.trans_ckpt,
+                  self.vae_ckpt):
+            m.close()
+        self.log.close()

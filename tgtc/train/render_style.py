@@ -1,0 +1,132 @@
+"""Phase F — stylized rendering (novel-view and training-pose).
+
+Rebuild of ``render_style`` (/root/reference/rendering.py:93-239) and
+``render_train_style`` (:242-376): for every (style, pose) pair run the
+stylized chain (frozen NeRF → latents → style MLPs → composite, coarse then
+fine) and write ``style_%05d_fine_%05d.png`` plus a normalized depth image.
+
+TPU-native: rays render in fixed-size jitted blocks (one compile), while
+PNG encoding streams on host; ``skip_existing`` reproduces the reference's
+resume behavior (/root/reference/rendering.py:267-270).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tgtc.models.nerf import NerfMLP
+from tgtc.ops.sampling import merge_and_resample_fine, sample_along_rays_uniform
+from tgtc.render.style import style_forward
+
+
+def make_stylized_render_fn(
+    nerf_coarse: NerfMLP,
+    nerf_fine: NerfMLP,
+    concat_model,
+    style_model,
+    n_samples: int,
+    n_samples_fine: int,
+    near: float,
+    far: float,
+    sigma_scale: float = 1.0,
+    llff_tile: bool = True,
+):
+    """Jitted block renderer: ``(nerf_params_c, nerf_params_f, style_params
+    {"concat","style"}, latent_state, rays_o [B,3], rays_d [B,3], style_id,
+    frame_id, key) → {"rgb", "t_exp", "rgb_coarse"}`` (fine outputs).
+
+    The reference renders with ``perturb=True`` and zero sigma noise
+    (/root/reference/rendering.py:119,145)."""
+
+    def render(npc, npf, style_params, latent_state, rays_o, rays_d,
+               style_id, frame_id, key):
+        b = rays_o.shape[0]
+        sid = jnp.full((b,), style_id, jnp.int32)
+        fid = jnp.full((b,), frame_id, jnp.int32)
+        _, ts = sample_along_rays_uniform(
+            rays_o, rays_d, n_samples, near=near, far=far, key=key
+        )
+        comp_c, weights = style_forward(
+            nerf_coarse, npc, concat_model, style_params["concat"],
+            style_model, style_params["style"],
+            latent_state, rays_o, rays_d, ts, sid, fid,
+            sigma_scale=sigma_scale, llff_tile=llff_tile,
+        )
+        _, ts_f = merge_and_resample_fine(rays_o, rays_d, ts, weights,
+                                          n_samples_fine)
+        comp_f, _ = style_forward(
+            nerf_fine, npf, concat_model, style_params["concat"],
+            style_model, style_params["style"],
+            latent_state, rays_o, rays_d, ts_f, sid, fid,
+            sigma_scale=sigma_scale, llff_tile=llff_tile,
+        )
+        return {"rgb": comp_f.rgb, "t_exp": comp_f.t_exp,
+                "rgb_coarse": comp_c.rgb}
+
+    return jax.jit(render)
+
+
+def render_stylized_views(
+    render_fn,
+    nerf_params_coarse,
+    nerf_params_fine,
+    style_params: Dict[str, Any],
+    latent_state: Dict[str, jnp.ndarray],
+    rays_o: jnp.ndarray,   # [V, H, W, 3]
+    rays_d: jnp.ndarray,
+    style_ids,             # iterable of style indices
+    out_dir: str,
+    key: jax.Array,
+    block: int = 16384,
+    skip_existing: bool = True,
+    frame_id_offset: int = 0,
+) -> None:
+    """Render every (style, view) pair and write pngs (async native encode
+    overlapped with the next view's render)."""
+    from tgtc.utils import native
+
+    os.makedirs(out_dir, exist_ok=True)
+    v, h, w, _ = rays_o.shape
+    n = h * w
+
+    for s in style_ids:
+        for f in range(v):
+            path = os.path.join(out_dir, f"style_{s:05d}_fine_{f:05d}.png")
+            if skip_existing and os.path.exists(path):
+                continue
+            ro = jnp.reshape(rays_o[f], (-1, 3))
+            rd = jnp.reshape(rays_d[f], (-1, 3))
+            outs = []
+            for start in range(0, n, block):
+                end = min(start + block, n)
+                bo, bd = ro[start:end], rd[start:end]
+                if end - start < block:
+                    pad = block - (end - start)
+                    bo = jnp.concatenate([bo, jnp.zeros((pad, 3))], 0)
+                    bd = jnp.concatenate([bd, jnp.ones((pad, 3))], 0)
+                out = render_fn(
+                    nerf_params_coarse, nerf_params_fine, style_params,
+                    latent_state, bo, bd, s, f + frame_id_offset,
+                    jax.random.fold_in(key, f * 1000 + start),
+                )
+                outs.append(
+                    jax.tree.map(lambda x: x[: end - start], out)
+                )
+            out = jax.tree.map(lambda *xs: np.concatenate(
+                [np.asarray(x) for x in xs], 0), *outs)
+            rgb = np.clip(out["rgb"].reshape(h, w, 3), 0, 1)
+            t = out["t_exp"].reshape(h, w)
+            t = (t - t.min()) / (t.max() - t.min() + 1e-7)
+            native.write_png_async(path, rgb)
+            native.write_png_async(
+                os.path.join(out_dir, f"style_{s:05d}_fine_depth_{f:05d}.png"),
+                t[..., None],
+            )
+    errs = native.wait_writes()
+    if errs:
+        raise IOError(f"{errs} async png writes failed in {out_dir}")

@@ -1,0 +1,68 @@
+"""Observability: JSONL metrics + wall-clock segment timers.
+
+Replaces the reference's tensorboardX scalars + tqdm format strings
+(/root/reference/train_tgtcs.py:261-267, /root/reference/trans_train.py:197-201)
+with a dependency-free JSONL sink (one line per log step — greppable,
+plottable) and a console pretty-printer. ``SegmentTimer`` mirrors the
+reference's data/model/fine/opt accumulators
+(/root/reference/train_tgtcs.py:219,278-282).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Any, Dict, Optional
+
+
+class MetricsLogger:
+    def __init__(self, log_dir: Optional[str] = None, name: str = "train",
+                 print_fn=print):
+        self._fh = None
+        self._print = print_fn
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self._fh = open(os.path.join(log_dir, f"{name}.jsonl"), "a")
+
+    def log(self, step: int, metrics: Dict[str, Any], prefix: str = "") -> None:
+        scalars = {
+            k: float(v) for k, v in metrics.items()
+            if hasattr(v, "__float__") or isinstance(v, (int, float))
+        }
+        if self._fh:
+            self._fh.write(json.dumps({"step": step, **scalars}) + "\n")
+            self._fh.flush()
+        parts = " ".join(f"{k}: {v:.5g}" for k, v in scalars.items())
+        self._print(f"[{prefix}] step {step} {parts}")
+
+    def close(self) -> None:
+        if self._fh:
+            self._fh.close()
+
+
+class SegmentTimer:
+    """Accumulate wall-clock per named segment; report + reset on demand."""
+
+    def __init__(self):
+        self._acc = defaultdict(float)
+        self._t0 = None
+        self._current = None
+
+    def start(self, name: str) -> None:
+        now = time.perf_counter()
+        if self._current is not None:
+            self._acc[self._current] += now - self._t0
+        self._current, self._t0 = name, now
+
+    def stop(self) -> None:
+        if self._current is not None:
+            self._acc[self._current] += time.perf_counter() - self._t0
+            self._current = None
+
+    def report_and_reset(self) -> Dict[str, float]:
+        self.stop()
+        out = dict(self._acc)
+        self._acc.clear()
+        return out
