@@ -1,0 +1,134 @@
+"""Fast fused stylized render pipeline (Phase F hot path).
+
+Coarse→fine stylized render where each pass is ONE fused Pallas kernel
+(tgtc.ops.pallas.style_kernel: trunk + concat MLP + style MLP, all weights
+VMEM-resident). This drives the second headline metric — stylized
+frames/min at full LLFF resolution — replacing the reference's chunked
+multi-network chain (/root/reference/rendering.py:93-239).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tgtc.models.style_field import lookup_latents
+from tgtc.ops.composite import alpha_composite
+from tgtc.ops.pallas.style_kernel import fused_style_apply_t, pack_style_params
+from tgtc.ops.sampling import sample_along_rays_uniform, sample_pdf
+from tgtc.render.fast import _points_t
+from tgtc.render.volume import RenderSettings
+
+
+def make_fused_style_render_fn(
+    settings: RenderSettings,
+    depth: int = 8,
+    num_freq_coor: int = 10,
+    style_d: int = 8,
+    style_width: int = 256,
+    latent_dim: int = 32,
+    sigma_scale: float = 1.0,
+    llff_tile: bool = True,
+    tile: int = 2048,
+    interpret: bool = False,
+    trunk_width: int = 256,
+):
+    """Jitted ``(packed_c(4), packed_f(4), latent_state, rays_o, rays_d,
+    style_ids, frame_ids, key) → {"rgb", "t_exp"}`` renderer."""
+    nc = settings.n_samples
+    nf = settings.n_samples + settings.n_samples_fine
+
+    kw = dict(depth=depth, num_freq_coor=num_freq_coor, style_d=style_d,
+              style_width=style_width, latent_dim=latent_dim,
+              trunk_width=trunk_width, tile=tile, interpret=interpret)
+
+    @jax.jit
+    def render(wtc, wsc, wgc, encc, wtf, wsf, wgf, encf,
+               latent_state, rays_o, rays_d, style_ids, frame_ids, key):
+        r = rays_o.shape[0]
+        lat = lookup_latents(latent_state, style_ids, frame_ids,
+                             sigma_scale, llff_tile)          # [R, L]
+
+        def run(packed, ts):
+            s = ts.shape[1]
+            pt, _ = _points_t(rays_o, rays_d, ts)
+            lat_t = jnp.broadcast_to(
+                lat.T[:, :, None], (latent_dim, r, s)
+            ).reshape(latent_dim, r * s)
+            rgb_t, sigma_t = fused_style_apply_t(*packed, pt, lat_t, **kw)
+            rgb = rgb_t.reshape(3, r, s).transpose(1, 2, 0)
+            sigma = sigma_t.reshape(r, s)
+            return alpha_composite(rgb, sigma, ts,
+                                   white_bkgd=settings.white_bkgd)
+
+        _, ts = sample_along_rays_uniform(
+            rays_o, rays_d, nc, near=settings.near, far=settings.far,
+            key=key,  # perturb=True at render, reference parity
+        )
+        comp_c = run((wtc, wsc, wgc, encc), ts)
+
+        ts_mid = 0.5 * (ts[..., 1:] + ts[..., :-1])
+        t_new = sample_pdf(ts_mid, comp_c.weights[..., 1:-1],
+                           settings.n_samples_fine)
+        ts_f = jnp.sort(jnp.concatenate([ts, t_new], axis=-1), axis=-1)
+        comp_f = run((wtf, wsf, wgf, encf), ts_f)
+
+        return {"rgb": comp_f.rgb, "t_exp": comp_f.t_exp,
+                "rgb_coarse": comp_c.rgb}
+
+    return render
+
+
+@dataclasses.dataclass
+class FusedStyleRenderer:
+    """Holds packed kernel weights for coarse+fine stylized rendering."""
+
+    packed_coarse: Tuple[jnp.ndarray, ...]
+    packed_fine: Tuple[jnp.ndarray, ...]
+    latent_state: Dict[str, jnp.ndarray]
+    settings: RenderSettings
+    depth: int = 8
+    num_freq_coor: int = 10
+    style_d: int = 8
+    style_width: int = 256
+    latent_dim: int = 32
+    sigma_scale: float = 1.0
+    llff_tile: bool = True
+    tile: int = 2048
+    interpret: bool = False
+    trunk_width: int = 256
+
+    def __post_init__(self):
+        self._fn = make_fused_style_render_fn(
+            self.settings, self.depth, self.num_freq_coor, self.style_d,
+            self.style_width, self.latent_dim, self.sigma_scale,
+            self.llff_tile, self.tile, self.interpret, self.trunk_width,
+        )
+
+    @classmethod
+    def from_params(
+        cls, nerf_params_coarse, nerf_params_fine, concat_params,
+        style_params, latent_state, settings: RenderSettings,
+        depth: int = 8, num_freq_coor: int = 10, style_d: int = 8,
+        style_width: int = 256, latent_dim: int = 32,
+        sigma_scale: float = 1.0, llff_tile: bool = True,
+        tile: int = 2048, interpret: bool = False, trunk_width: int = 256,
+    ) -> "FusedStyleRenderer":
+        pk = lambda npar: pack_style_params(
+            npar, concat_params, style_params, depth=depth,
+            num_freq_coor=num_freq_coor, style_d=style_d,
+            style_width=style_width, latent_dim=latent_dim,
+            trunk_width=trunk_width,
+        )
+        return cls(pk(nerf_params_coarse), pk(nerf_params_fine),
+                   latent_state, settings, depth, num_freq_coor, style_d,
+                   style_width, latent_dim, sigma_scale, llff_tile, tile,
+                   interpret, trunk_width)
+
+    def render(self, rays_o, rays_d, style_ids, frame_ids, key):
+        return self._fn(*self.packed_coarse, *self.packed_fine,
+                        self.latent_state, rays_o, rays_d, style_ids,
+                        frame_ids, key)

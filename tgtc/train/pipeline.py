@@ -492,26 +492,97 @@ class Pipeline:
             h, w, jnp.asarray(self.scene.intrinsics), jnp.asarray(pose_arr),
             use_ndc=not cfg.no_ndc, pixel_alignment=cfg.pixel_alignment,
         )
-        render_fn = make_stylized_render_fn(
-            cm, fm, concat_model, style_model,
-            cfg.N_samples, cfg.N_samples_fine, self.near, self.far,
-            sigma_scale=cfg.sigma_scale,
-            llff_tile=cfg.dataset_type == "llff",
-        )
-        out_dir = os.path.join(
-            self.exp_dir, f"render_{poses}_style"
-        )
+        out_dir = os.path.join(self.exp_dir, f"render_{poses}_style")
         latent_state = {
             "latents": sstate.params["latents"],
             "mu": sstate.mu, "logvar": sstate.logvar,
         }
-        render_stylized_views(
-            render_fn, nstate.params_coarse, nstate.params_fine,
-            {"concat": sstate.params["concat"], "style": sstate.params["style"]},
-            latent_state, ro, rd, range(data.style_num), out_dir,
-            jax.random.PRNGKey(cfg.seed + 10),
-        )
+        if cfg.use_pallas and jax.default_backend() != "cpu":
+            self._render_stylized_fused(
+                nstate, sstate, latent_state, data, ro, rd, out_dir
+            )
+        else:
+            render_fn = make_stylized_render_fn(
+                cm, fm, concat_model, style_model,
+                cfg.N_samples, cfg.N_samples_fine, self.near, self.far,
+                sigma_scale=cfg.sigma_scale,
+                llff_tile=cfg.dataset_type == "llff",
+            )
+            render_stylized_views(
+                render_fn, nstate.params_coarse, nstate.params_fine,
+                {"concat": sstate.params["concat"],
+                 "style": sstate.params["style"]},
+                latent_state, ro, rd, range(data.style_num), out_dir,
+                jax.random.PRNGKey(cfg.seed + 10),
+            )
         return out_dir
+
+    def _render_stylized_fused(self, nstate, sstate, latent_state, data,
+                               ro, rd, out_dir) -> None:
+        """Phase F via the fused stylized-point kernel
+        (tgtc.render.fast_style) — the TPU hot path."""
+        from tgtc.render.fast_style import FusedStyleRenderer
+        from tgtc.render.volume import RenderSettings
+        from tgtc.utils import native
+
+        cfg = self.cfg
+        os.makedirs(out_dir, exist_ok=True)
+        settings = RenderSettings(
+            n_samples=cfg.N_samples, n_samples_fine=cfg.N_samples_fine,
+            near=self.near, far=self.far, sigma_noise_std=0.0,
+            white_bkgd=cfg.white_bkgd,
+        )
+        rend = FusedStyleRenderer.from_params(
+            nstate.params_coarse, nstate.params_fine,
+            sstate.params["concat"], sstate.params["style"], latent_state,
+            settings, depth=cfg.netdepth, num_freq_coor=cfg.embed_freq_coor,
+            style_d=cfg.style_D, style_width=cfg.netwidth,
+            latent_dim=cfg.vae_latent, sigma_scale=cfg.sigma_scale,
+            llff_tile=cfg.dataset_type == "llff",
+            trunk_width=cfg.netwidth,
+        )
+        v, h, w, _ = ro.shape
+        n = h * w
+        block = 16384
+        key = jax.random.PRNGKey(cfg.seed + 10)
+        for s in range(data.style_num):
+            for f in range(v):
+                path = os.path.join(out_dir, f"style_{s:05d}_fine_{f:05d}.png")
+                if os.path.exists(path):
+                    continue
+                ro_f = jnp.reshape(ro[f], (-1, 3))
+                rd_f = jnp.reshape(rd[f], (-1, 3))
+                outs = []
+                for start in range(0, n, block):
+                    end = min(start + block, n)
+                    bo, bd = ro_f[start:end], rd_f[start:end]
+                    if end - start < block:
+                        pad = block - (end - start)
+                        bo = jnp.concatenate([bo, jnp.zeros((pad, 3))], 0)
+                        bd = jnp.concatenate([bd, jnp.ones((pad, 3))], 0)
+                    out = rend.render(
+                        bo, bd,
+                        jnp.full((block,), s, jnp.int32),
+                        jnp.full((block,), f, jnp.int32),
+                        jax.random.fold_in(key, f * 1000 + start),
+                    )
+                    outs.append(jax.tree.map(lambda x: x[: end - start], out))
+                out = jax.tree.map(
+                    lambda *xs: np.concatenate([np.asarray(x) for x in xs], 0),
+                    *outs,
+                )
+                rgb = np.clip(out["rgb"].reshape(h, w, 3), 0, 1)
+                t = out["t_exp"].reshape(h, w)
+                t = (t - t.min()) / (t.max() - t.min() + 1e-7)
+                native.write_png_async(path, rgb)
+                native.write_png_async(
+                    os.path.join(out_dir,
+                                 f"style_{s:05d}_fine_depth_{f:05d}.png"),
+                    t[..., None],
+                )
+        errs = native.wait_writes()
+        if errs:
+            raise IOError(f"{errs} async png writes failed in {out_dir}")
 
     def render_plain(self, poses: str = "valid") -> str:
         """--render_valid / --render_train: plain NeRF renders
