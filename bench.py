@@ -16,6 +16,8 @@ GPU). The driver-defined north star is >=20x (BASELINE.json).
 """
 
 import json
+import signal
+import sys
 import time
 
 import jax
@@ -84,5 +86,26 @@ def main():
     )
 
 
+def _watchdog(sig, frame):
+    # The tunneled compile service can wedge (see .claude/skills/verify);
+    # emit an honest zero rather than hanging the driver.
+    print(
+        json.dumps(
+            {
+                "metric": "nerf_render_rays_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "rays/s",
+                "vs_baseline": 0.0,
+                "note": "TPU compile service unresponsive (watchdog timeout)",
+            }
+        )
+    )
+    sys.stdout.flush()
+    raise SystemExit(1)
+
+
 if __name__ == "__main__":
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(600)
     main()
+    signal.alarm(0)
