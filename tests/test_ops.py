@@ -109,6 +109,21 @@ class TestSamplePdf:
         t_np = np.asarray(t_all)
         assert np.all(np.diff(t_np, axis=-1) >= 0)
 
+    def test_merge_two_sorted_equals_sort(self):
+        from tgtc.ops.sampling import merge_two_sorted
+
+        rng = np.random.default_rng(5)
+        a = np.sort(rng.uniform(size=(16, 9)).astype(np.float32), axis=-1)
+        b = np.sort(rng.uniform(size=(16, 13)).astype(np.float32), axis=-1)
+        got = np.asarray(merge_two_sorted(jnp.asarray(a), jnp.asarray(b)))
+        want = np.sort(np.concatenate([a, b], axis=-1), axis=-1)
+        np.testing.assert_allclose(got, want)
+        # with exact ties
+        a2 = jnp.asarray([[0.0, 0.5, 0.5, 1.0]])
+        b2 = jnp.asarray([[0.5, 0.5, 2.0]])
+        got2 = np.asarray(merge_two_sorted(a2, b2))
+        np.testing.assert_allclose(got2, [[0.0, 0.5, 0.5, 0.5, 0.5, 1.0, 2.0]])
+
     def test_no_gradient_through_sampling(self):
         o, d = jnp.zeros((4, 3)), jnp.ones((4, 3))
         _, ts = sample_along_rays_uniform(o, d, 8)

@@ -21,6 +21,10 @@ from tgtc.train.pipeline import Pipeline
 
 def main(argv: Optional[List[str]] = None) -> int:
     cfg = load_config(argv)
+    if cfg.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     pipe = Pipeline(cfg)
     try:
         pipe.run()

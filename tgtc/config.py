@@ -118,6 +118,9 @@ class Config:
     use_pallas: bool = True      # fused trunk kernel for bulk renders
     mesh_devices: int = 0        # 0 = all local devices
     seed: int = 0
+    debug_nans: bool = False     # jax_debug_nans — the analog of the
+    #                              reference's autograd anomaly mode
+    #                              (/root/reference/train_tgtcs.py:311)
 
     @property
     def exp_dir(self) -> str:

@@ -171,6 +171,42 @@ def gather_coh_batch(
     }
 
 
+def gather_patch_batch(
+    data: StyleSceneData,
+    style_id: jnp.ndarray,
+    frame_id: jnp.ndarray,
+    hid: jnp.ndarray,
+    wid: jnp.ndarray,
+    patch: int,
+) -> Dict[str, jnp.ndarray]:
+    """A square patch of rays centered near (hid, wid), clamped in-bounds
+    (parity with ``get_patch_train_style``,
+    /root/reference/dataset.py:591-615) — flattened row-major like the
+    reference's ``.T`` index layout. Jit-friendly (dynamic_slice)."""
+    h, w = data.hw
+    y0 = jnp.clip(hid - patch // 2, 0, h - patch)
+    x0 = jnp.clip(wid - patch // 2, 0, w - patch)
+
+    def crop(arr4):  # [F/H/W/C] indexed at frame_id
+        a = arr4[frame_id]
+        return jax.lax.dynamic_slice(
+            a, (y0, x0, 0), (patch, patch, a.shape[-1])
+        ).reshape(patch * patch, -1)
+
+    out = {
+        "rays_o": crop(data.rays_o),
+        "rays_d": crop(data.rays_d),
+        "rgb_origin": crop(data.images),
+        "rgb_gt": jax.lax.dynamic_slice(
+            data.stylized[style_id, frame_id], (y0, x0, 0),
+            (patch, patch, 3),
+        ).reshape(patch * patch, 3),
+        "style_id": jnp.broadcast_to(style_id, (patch * patch,)),
+        "frame_id": jnp.broadcast_to(frame_id, (patch * patch,)),
+    }
+    return out
+
+
 def advance_coh_counters(
     style_start: jnp.ndarray,
     frame_start: jnp.ndarray,

@@ -107,6 +107,32 @@ def sample_pdf(
     return bins_below + t * (bins_above - bins_below)
 
 
+def merge_two_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Merge two per-row-sorted arrays ``a [R, Na]`` and ``b [R, Nb]`` into a
+    sorted ``[R, Na+Nb]`` WITHOUT a general sort.
+
+    Rank-based: each element's output slot is its own index plus the count
+    of smaller elements in the other array (ties resolved a-first). On TPU
+    this is two branchless comparison reductions + one scatter, a candidate
+    replacement for the bitonic ``jnp.sort`` in hierarchical sampling when
+    both parts are already sorted (coarse depths; deterministic sample_pdf
+    output is monotone because its quantiles are increasing).
+    """
+    na, nb = a.shape[-1], b.shape[-1]
+    pos_a = jnp.arange(na) + jnp.sum(
+        b[..., None, :] < a[..., :, None], axis=-1
+    )
+    pos_b = jnp.arange(nb) + jnp.sum(
+        a[..., None, :] <= b[..., :, None], axis=-1
+    )
+    r = a.shape[0]
+    rows = jnp.arange(r)[:, None]
+    out = jnp.zeros((r, na + nb), a.dtype)
+    out = out.at[rows, pos_a].set(a)
+    out = out.at[rows, pos_b].set(b)
+    return out
+
+
 def merge_and_resample_fine(
     rays_o: jnp.ndarray,
     rays_d: jnp.ndarray,
