@@ -438,7 +438,7 @@ class Pipeline:
 
         step_fn = make_style_train_step(
             cm, fm, nstate.params_coarse, nstate.params_fine,
-            concat_model, style_model, scfg,
+            concat_model, style_model, scfg, mesh=self.mesh,
         )
         key = jax.random.PRNGKey(cfg.seed + 9)
         while int(sstate.step) < cfg.total_step:

@@ -144,10 +144,27 @@ def make_style_train_step(
     concat_model: StyleMLPBeforeConcat,
     style_model: StyleMLPWildMultilayers,
     cfg: StyleTrainConfig,
+    mesh=None,
 ):
     """Build the jitted Phase-E step:
-    ``(state, data: StyleSceneData, key) -> (state, metrics)``."""
+    ``(state, data: StyleSceneData, key) -> (state, metrics)``.
+
+    With ``mesh``, both gathered ray streams shard over the ``data`` axis
+    (params replicated; XLA inserts the grad psum) — the multi-chip analog
+    of the reference's single-process training."""
     tx = make_style_optimizer(cfg)
+
+    def shard(batch):
+        if mesh is None:
+            return batch
+        from tgtc.parallel.mesh import data_sharding
+
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, data_sharding(mesh, x.ndim)
+            ),
+            batch,
+        )
 
     def two_pass(params, latent_state, batch, key, stop_grad_latents):
         """Coarse+fine stylized forward for one stream. Returns
@@ -187,11 +204,11 @@ def make_style_train_step(
         key = jax.random.fold_in(key, state.step)
         k_main, k_coh_pix, k_fwd1, k_fwd2 = jax.random.split(key, 4)
 
-        main = gather_main_batch(data, k_main, cfg.batch_size)
-        coh = gather_coh_batch(
+        main = shard(gather_main_batch(data, k_main, cfg.batch_size))
+        coh = shard(gather_coh_batch(
             data, k_coh_pix, state.style_start, state.frame_start,
             state.block, cfg.batch_size,
-        )
+        ))
 
         frame_num = data.frame_num
 
