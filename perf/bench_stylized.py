@@ -1,0 +1,76 @@
+"""Secondary benchmark: stylized novel-view throughput (frames/min).
+
+BASELINE.md's second headline metric — full transformer-guided stylized
+render at LLFF fern resolution (756 x 1008, 64+128 samples) through the
+fused style kernel. Prints one JSON line.
+
+    python perf/bench_stylized.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tgtc.models.nerf import NerfConfig
+from tgtc.models.style_field import StyleFieldConfig, init_latents, make_style_mlps
+from tgtc.render.fast_style import FusedStyleRenderer
+from tgtc.render.volume import RenderSettings
+from tgtc.train.nerf_trainer import NerfTrainConfig, init_state
+
+H, W = 756, 1008
+BLOCK = 16384
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    nerf_cfg = NerfConfig()
+    _, _, state = init_state(key, nerf_cfg, NerfTrainConfig())
+    field = StyleFieldConfig(style_d=8, width=256, latent_dim=32,
+                             embed_dim=nerf_cfg.input_ch)
+    _, pcat, _, psty = make_style_mlps(field, jax.random.fold_in(key, 1))
+    lat = init_latents(jax.random.fold_in(key, 2), 1, 20, 32)
+    rend = FusedStyleRenderer.from_params(
+        state.params_coarse, state.params_fine, pcat, psty, lat,
+        RenderSettings(n_samples=64, n_samples_fine=64, sigma_noise_std=0.0),
+    )
+
+    ro = jax.random.uniform(key, (BLOCK, 3), minval=-1, maxval=1)
+    rd = jax.random.normal(key, (BLOCK, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    sid = jnp.zeros((BLOCK,), jnp.int32)
+    fid = jnp.zeros((BLOCK,), jnp.int32)
+
+    fold = jax.jit(lambda acc, o: acc + jnp.sum(o["rgb"]))
+    out = rend.render(ro, rd, sid, fid, key)
+    acc = fold(jnp.zeros(()), out)
+    float(np.asarray(acc))  # compile + sync
+
+    blocks_per_frame = -(-H * W // BLOCK)
+    reps = 2
+    acc = jnp.zeros(())
+    t0 = time.perf_counter()
+    for r in range(reps):
+        for b in range(blocks_per_frame):
+            out = rend.render(ro, rd, sid, fid, jax.random.fold_in(key, b))
+            acc = fold(acc, out)
+    float(np.asarray(acc))
+    dt = time.perf_counter() - t0
+
+    frames_per_min = 60.0 * reps / dt
+    print(json.dumps({
+        "metric": "stylized_frames_per_min_1008x756",
+        "value": round(frames_per_min, 2),
+        "unit": "frames/min",
+        "rays_per_sec": round(reps * blocks_per_frame * BLOCK / dt, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
