@@ -171,6 +171,23 @@ def gather_coh_batch(
     }
 
 
+def nearby_camera_batch(
+    cps: np.ndarray, batch: int, rng: np.random.Generator,
+    factor: float = 0.01,
+) -> np.ndarray:
+    """Indices of ``batch`` cameras near a random anchor, sampled by inverse
+    pose distance (the reference's ``CoorImageDataset_pl`` nearby-camera
+    batching, /root/reference/train_style_modules.py:124-177)."""
+    n = cps.shape[0]
+    anchor = int(rng.integers(n))
+    d = np.linalg.norm(cps[:, :3, 3] - cps[anchor, :3, 3], axis=-1)
+    p = 1.0 / (d + factor)
+    p[anchor] = p.max()
+    p = p / p.sum()
+    rest = rng.choice(n, size=batch - 1, replace=batch - 1 > n - 1, p=p)
+    return np.concatenate([[anchor], rest])
+
+
 def gather_patch_batch(
     data: StyleSceneData,
     style_id: jnp.ndarray,
