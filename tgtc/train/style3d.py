@@ -201,8 +201,12 @@ def make_style_train_step(
         return comp_c.rgb, comp_f.rgb
 
     def step_fn(state: StyleTrainState, data: StyleSceneData, key: jax.Array):
+        # coh pixels must be STABLE across the frames of one cycle — derive
+        # them from the UNfolded key (gather_coh_batch keys them only on
+        # style_start/block); everything else folds in the step.
+        k_coh_pix = jax.random.fold_in(key, 7)
         key = jax.random.fold_in(key, state.step)
-        k_main, k_coh_pix, k_fwd1, k_fwd2 = jax.random.split(key, 4)
+        k_main, k_fwd1, k_fwd2 = jax.random.split(key, 3)
 
         main = shard(gather_main_batch(data, k_main, cfg.batch_size))
         coh = shard(gather_coh_batch(
