@@ -326,10 +326,13 @@ class Pipeline:
             model, c2state.params, self.gen_dir, style_img,
             os.path.basename(style_paths[0]), self.stylized_dir,
         )
-        self.trans_ckpt.save(
-            int(tstate.step) + ccfg.max_iter, jax.device_get(c2state),
-            force=True,
+        # C2's optimizer state has a different label tree than C1's — it
+        # gets its own checkpoint directory so a C1 restore never sees it
+        c2_ckpt = CheckpointManager(
+            os.path.join(self.exp_dir, "ckpt_trans_c2"), max_to_keep=1
         )
+        c2_ckpt.save(int(c2state.step), jax.device_get(c2state), force=True)
+        c2_ckpt.close()
 
     # ------------------------------------------------------------- phase D
 
@@ -564,7 +567,7 @@ class Pipeline:
                         bo, bd,
                         jnp.full((block,), s, jnp.int32),
                         jnp.full((block,), f, jnp.int32),
-                        jax.random.fold_in(key, f * 1000 + start),
+                        jax.random.fold_in(jax.random.fold_in(key, f), start),
                     )
                     outs.append(jax.tree.map(lambda x: x[: end - start], out))
                 out = jax.tree.map(

@@ -112,7 +112,7 @@ def render_stylized_views(
                 out = render_fn(
                     nerf_params_coarse, nerf_params_fine, style_params,
                     latent_state, bo, bd, s, f + frame_id_offset,
-                    jax.random.fold_in(key, f * 1000 + start),
+                    jax.random.fold_in(jax.random.fold_in(key, f), start),
                 )
                 outs.append(
                     jax.tree.map(lambda x: x[: end - start], out)
