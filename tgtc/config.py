@@ -10,9 +10,8 @@ configs (fern/flower/horns/orchids/trex) port unchanged.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
-from dataclasses import dataclass, field, fields
+from dataclasses import dataclass, fields
 from typing import Any, Dict, List, Optional
 
 

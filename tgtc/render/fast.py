@@ -15,8 +15,7 @@ tiling (see tgtc.ops.pallas.nerf_mlp).
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

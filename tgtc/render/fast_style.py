@@ -10,7 +10,7 @@ multi-network chain (/root/reference/rendering.py:93-239).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ image encoding happens on host while the next frame renders on device.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+
 
 import jax.numpy as jnp
 import numpy as np

@@ -17,7 +17,6 @@
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -28,7 +27,7 @@ from jax.sharding import Mesh
 
 from tgtc.models.nerf import NerfConfig, NerfMLP, make_nerf
 from tgtc.ops.losses import img2mse, mse2psnr
-from tgtc.parallel.mesh import DATA_AXIS, data_sharding
+from tgtc.parallel.mesh import data_sharding
 from tgtc.render.volume import RenderSettings, render_rays
 
 

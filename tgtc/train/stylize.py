@@ -13,7 +13,7 @@ JPEG encode on host overlaps the next frame's compute.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

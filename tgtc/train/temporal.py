@@ -16,13 +16,12 @@ everything after is one jitted step.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax import struct
 
 from tgtc.models.stytrans import StyTrans
 from tgtc.ops.rasterize import ndc_to_world, rasterize_warp
