@@ -16,3 +16,20 @@ pytree parameters, optax optimizers, orbax checkpoints.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level API (avoids importing jax at package import)
+    if name == "Config":
+        from tgtc.config import Config
+        return Config
+    if name == "load_config":
+        from tgtc.config import load_config
+        return load_config
+    if name == "Pipeline":
+        from tgtc.train.pipeline import Pipeline
+        return Pipeline
+    if name == "load_llff_data":
+        from tgtc.data.llff import load_llff_data
+        return load_llff_data
+    raise AttributeError(f"module 'tgtc' has no attribute {name!r}")
