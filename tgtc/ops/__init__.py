@@ -10,9 +10,26 @@ from tgtc.ops.sampling import (
     sample_along_rays_uniform,
     sample_pdf,
     merge_and_resample_fine,
+    merge_two_sorted,
 )
-from tgtc.ops.composite import alpha_composite
+from tgtc.ops.composite import alpha_composite, alpha_composite_wild
 from tgtc.ops.losses import img2mse, mse2psnr, img2l1, l2_norm, cosine_similarity
+from tgtc.ops.style import (
+    adaptive_instance_normalization,
+    calc_mean_std,
+    coral,
+    gram_matrix,
+    gram_style_loss,
+    mean_variance_norm,
+)
+from tgtc.ops.rasterize import (
+    llff_projection_matrix,
+    ndc_to_world,
+    rasterize_pyramid,
+    rasterize_warp,
+    splat_points,
+    world_to_cvv,
+)
 
 __all__ = [
     "positional_encoding",
@@ -20,10 +37,24 @@ __all__ = [
     "sample_along_rays_uniform",
     "sample_pdf",
     "merge_and_resample_fine",
+    "merge_two_sorted",
     "alpha_composite",
+    "alpha_composite_wild",
     "img2mse",
     "mse2psnr",
     "img2l1",
     "l2_norm",
     "cosine_similarity",
+    "adaptive_instance_normalization",
+    "calc_mean_std",
+    "coral",
+    "gram_matrix",
+    "gram_style_loss",
+    "mean_variance_norm",
+    "llff_projection_matrix",
+    "ndc_to_world",
+    "rasterize_pyramid",
+    "rasterize_warp",
+    "splat_points",
+    "world_to_cvv",
 ]
