@@ -46,6 +46,30 @@ class TestFusedKernel:
             np.asarray(out["sigma"]), np.asarray(ref["sigma"]), atol=2e-1
         )
 
+    @pytest.mark.parametrize("depth,width,fc,fd,skip",
+                             [(4, 128, 6, 2, 2), (6, 64, 8, 3, 4)])
+    def test_non_default_architectures(self, depth, width, fc, fd, skip):
+        """Packing must not assume the default 8x256/freq-10 shape
+        (regression: width was hardcoded once)."""
+        cfg = NerfConfig(depth=depth, width=width, embed_freq_coor=fc,
+                         embed_freq_dir=fd, skips=(skip,))
+        model, params = make_nerf(cfg, jax.random.PRNGKey(0))
+        packed = pack_nerf_params(params, depth=depth, num_freq_coor=fc,
+                                  num_freq_dir=fd, width=width, skip=skip)
+        key = jax.random.PRNGKey(1)
+        pts = jax.random.uniform(key, (128, 3), minval=-1, maxval=1)
+        dirs = jax.random.normal(key, (128, 3))
+        out = fused_nerf_apply(packed, pts, dirs, tile=128, interpret=True,
+                               depth=depth, num_freq_coor=fc, num_freq_dir=fd,
+                               width=width, skip=skip)
+        ref = nerf_apply(model, params, pts, dirs)
+        np.testing.assert_allclose(
+            np.asarray(out["rgb"]), np.asarray(ref["rgb"]), atol=3e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["sigma"]), np.asarray(ref["sigma"]), atol=2e-1
+        )
+
     def test_fused_render_pipeline_matches_xla(self):
         """Full coarse→fine fused pipeline vs the XLA render path."""
         from tgtc.render.fast import FusedNerfRenderer

@@ -67,6 +67,7 @@ def pack_nerf_params(
     num_freq_coor: int = 10,
     num_freq_dir: int = 4,
     skip: int = 4,
+    width: int = 256,
     dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack flax NerfMLP params into (W1 [256, c1], W2 [128, c2]) bf16.
@@ -87,18 +88,29 @@ def pack_nerf_params(
     def bias(name):  # [out, 1]
         return np.asarray(p[name]["bias"], np.float32)[:, None]
 
-    w1_blocks: List[np.ndarray] = [kern("base_0"), bias("base_0")]
+    t_rows = max(width, TRUNK_W)  # base_remap output is always 256 wide
+
+    def pad_t(a):
+        out = np.zeros((t_rows, a.shape[1]), np.float32)
+        out[: a.shape[0]] = a
+        return out
+
+    w1_blocks: List[np.ndarray] = [pad_t(kern("base_0")), pad_t(bias("base_0"))]
     for i in range(1, depth):
         wi = kern(f"base_{i}")
         if i == skip + 1:
             # input was concat([x_embed, h]): cols [0:in_c] = x part
-            w1_blocks += [wi[:, :in_c], wi[:, in_c:], bias(f"base_{i}")]
+            w1_blocks += [pad_t(wi[:, :in_c]), pad_t(wi[:, in_c:]),
+                          pad_t(bias(f"base_{i}"))]
         else:
-            w1_blocks += [wi, bias(f"base_{i}")]
-    w1_blocks += [kern("base_remap"), bias("base_remap")]
+            w1_blocks += [pad_t(wi), pad_t(bias(f"base_{i}"))]
+    w1_blocks += [pad_t(kern("base_remap")), pad_t(bias("base_remap"))]
     w1 = np.concatenate(w1_blocks, axis=1)
 
-    def pad_rows(a, rows=HEAD_W):
+    h_rows = max(width // 2, HEAD_W)
+
+    def pad_rows(a, rows=None):
+        rows = h_rows if rows is None else rows
         out = np.zeros((rows, a.shape[1]), np.float32)
         out[: a.shape[0]] = a
         return out
@@ -106,27 +118,29 @@ def pack_nerf_params(
     pmat_c, phase_c = _encoding_matrices(num_freq_coor)
     pmat_d, phase_d = _encoding_matrices(num_freq_dir)
     w2_blocks = [
-        pad_rows(kern("sigma")),          # [1, 256] in rows 0:1
+        pad_rows(kern("sigma")),          # [1, width] in rows 0:1
         pad_rows(bias("sigma")),
-        kern("rgb_0"),                     # [128, 256 + in_d]
-        bias("rgb_0"),
-        pad_rows(kern("rgb_1")),           # [3, 128] in rows 0:3
+        pad_rows(kern("rgb_0")),           # [width//2, 256 + in_d]
+        pad_rows(bias("rgb_0")),
+        pad_rows(kern("rgb_1")),           # [3, width//2] in rows 0:3
         pad_rows(bias("rgb_1")),
-        # encoding constants ride along in W2 (pallas kernels cannot
-        # capture array constants); kept f32-exact in bf16? No — frequencies
-        # 2**k and phases 0/pi/2 are bf16-representable except pi/2, so the
-        # encoding block is stored in a separate f32 operand instead.
     ]
     w2 = np.concatenate(w2_blocks, axis=1)
-    enc_blocks = [pad_rows(pmat_c), pad_rows(phase_c),
-                  pad_rows(pmat_d), pad_rows(phase_d)]
-    enc = np.concatenate(enc_blocks, axis=1)  # [128, 8] f32
+    # encoding constants in their own f32 operand (pallas kernels cannot
+    # capture array constants, and pi/2 phases are not bf16-exact)
+    e_rows = max(ec, ed, 8)
+    enc_blocks = [pad_rows(pmat_c, e_rows), pad_rows(phase_c, e_rows),
+                  pad_rows(pmat_d, e_rows), pad_rows(phase_d, e_rows)]
+    enc = np.concatenate(enc_blocks, axis=1)  # [e_rows, 8] f32
     return jnp.asarray(w1, dtype), jnp.asarray(w2, dtype), jnp.asarray(enc, jnp.float32)
 
 
-def _make_kernel(depth: int, skip: int, num_freq_coor: int, num_freq_dir: int):
+def _make_kernel(depth: int, skip: int, num_freq_coor: int, num_freq_dir: int,
+                 width: int):
     ec, ed = 6 * num_freq_coor, 6 * num_freq_dir
     in_c, in_d = 3 + ec, 3 + ed
+    tw = width
+    hw = width // 2
 
     def kernel(pts_ref, dirs_ref, w1_ref, w2_ref, enc_ref, rgb_ref, sigma_ref):
         f32, bf16 = jnp.float32, jnp.bfloat16
@@ -147,7 +161,7 @@ def _make_kernel(depth: int, skip: int, num_freq_coor: int, num_freq_dir: int):
         w1 = w1_ref[:]
         off = 0
 
-        def take(cols, rows=TRUNK_W):
+        def take(cols, rows=tw):
             nonlocal off
             blk = w1[:rows, off : off + cols]
             off += cols
@@ -157,14 +171,14 @@ def _make_kernel(depth: int, skip: int, num_freq_coor: int, num_freq_dir: int):
         h = jnp.maximum(mm(w0, e_c) + b0.astype(f32), 0.0).astype(bf16)
         for i in range(1, depth):
             if i == skip + 1:
-                wx, wh, b = take(in_c), take(TRUNK_W), take(1)
+                wx, wh, b = take(in_c), take(tw), take(1)
                 h = mm(wh, h) + mm(wx, e_c) + b.astype(f32)
             else:
-                wh, b = take(TRUNK_W), take(1)
+                wh, b = take(tw), take(1)
                 h = mm(wh, h) + b.astype(f32)
             h = jnp.maximum(h, 0.0).astype(bf16)
 
-        wrm, brm = take(TRUNK_W), take(1)
+        wrm, brm = take(tw, rows=TRUNK_W), take(1, rows=TRUNK_W)
         br = jnp.maximum(mm(wrm, h) + brm.astype(f32), 0.0).astype(bf16)
 
         w2 = w2_ref[:]
@@ -176,7 +190,7 @@ def _make_kernel(depth: int, skip: int, num_freq_coor: int, num_freq_dir: int):
             off += cols
             return blk
 
-        wsig, bsig = take2(TRUNK_W), take2(1)
+        wsig, bsig = take2(tw), take2(1)
         sigma = (mm(wsig[:1], h) + bsig[:1].astype(f32))  # [1, T]
 
         dirs = dirs_ref[:].astype(f32)
@@ -187,12 +201,12 @@ def _make_kernel(depth: int, skip: int, num_freq_coor: int, num_freq_dir: int):
 
         wr0, br0 = take2(TRUNK_W + in_d), take2(1)
         rf = jnp.maximum(
-            mm(wr0[:, :TRUNK_W], br) + mm(wr0[:, TRUNK_W:], e_d)
-            + br0.astype(f32),
+            mm(wr0[:hw, :TRUNK_W], br) + mm(wr0[:hw, TRUNK_W:], e_d)
+            + br0[:hw].astype(f32),
             0.0,
-        ).astype(bf16)  # [128, T]
+        ).astype(bf16)  # [width//2, T]
 
-        wr1, br1 = take2(HEAD_W), take2(1)
+        wr1, br1 = take2(hw), take2(1)
         rgb = jax.nn.sigmoid(mm(wr1[:3], rf) + br1[:3].astype(f32))  # [3, T]
 
         rgb_ref[:] = rgb.astype(rgb_ref.dtype)
@@ -204,7 +218,7 @@ def _make_kernel(depth: int, skip: int, num_freq_coor: int, num_freq_dir: int):
 @functools.partial(
     jax.jit,
     static_argnames=("depth", "skip", "num_freq_coor", "num_freq_dir",
-                     "tile", "interpret"),
+                     "width", "tile", "interpret"),
 )
 def fused_nerf_apply_t(
     w1: jnp.ndarray,
@@ -216,6 +230,7 @@ def fused_nerf_apply_t(
     skip: int = 4,
     num_freq_coor: int = 10,
     num_freq_dir: int = 4,
+    width: int = 256,
     tile: int = 4096,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -233,7 +248,7 @@ def fused_nerf_apply_t(
         + (256 + 27) * 128 + 128 * 3
     )
     rgb, sigma = pl.pallas_call(
-        _make_kernel(depth, skip, num_freq_coor, num_freq_dir),
+        _make_kernel(depth, skip, num_freq_coor, num_freq_dir, width),
         grid=grid,
         in_specs=[point_spec, point_spec, full(w1), full(w2), full(enc)],
         out_specs=(

@@ -42,6 +42,10 @@ def make_fused_render_fn(
     settings: RenderSettings,
     tile: int = 4096,
     interpret: bool = False,
+    depth: int = 8,
+    num_freq_coor: int = 10,
+    num_freq_dir: int = 4,
+    width: int = 256,
 ):
     """Build a jitted ``(w1c, w2c, encc, w1f, w2f, encf, rays_o, rays_d) ->
     outputs`` render function using the fused trunk kernel for both passes.
@@ -50,6 +54,9 @@ def make_fused_render_fn(
     (R a multiple of tile works since Nc, Nc+Nf are powers of two / even).
     """
     nc, nf = settings.n_samples, settings.n_samples + settings.n_samples_fine
+    kw = dict(depth=depth, num_freq_coor=num_freq_coor,
+              num_freq_dir=num_freq_dir, width=width, tile=tile,
+              interpret=interpret)
 
     @jax.jit
     def render(w1c, w2c, encc, w1f, w2f, encf, rays_o, rays_d):
@@ -59,9 +66,7 @@ def make_fused_render_fn(
         )
         del pts_c  # rebuilt transposed
         pt, dt = _points_t(rays_o, rays_d, ts)
-        rgb_t, sigma_t = fused_nerf_apply_t(
-            w1c, w2c, encc, pt, dt, tile=tile, interpret=interpret
-        )
+        rgb_t, sigma_t = fused_nerf_apply_t(w1c, w2c, encc, pt, dt, **kw)
         rgb_c = rgb_t.reshape(3, r, nc).transpose(1, 2, 0)
         sigma_c = sigma_t.reshape(r, nc)
         comp_c = alpha_composite(rgb_c, sigma_c, ts,
@@ -73,9 +78,7 @@ def make_fused_render_fn(
         ts_f = jnp.sort(jnp.concatenate([ts, t_new], axis=-1), axis=-1)
 
         ptf, dtf = _points_t(rays_o, rays_d, ts_f)
-        rgb_t, sigma_t = fused_nerf_apply_t(
-            w1f, w2f, encf, ptf, dtf, tile=tile, interpret=interpret
-        )
+        rgb_t, sigma_t = fused_nerf_apply_t(w1f, w2f, encf, ptf, dtf, **kw)
         rgb_f = rgb_t.reshape(3, r, nf).transpose(1, 2, 0)
         sigma_f = sigma_t.reshape(r, nf)
         comp_f = alpha_composite(rgb_f, sigma_f, ts_f,
@@ -105,9 +108,16 @@ class FusedNerfRenderer:
     settings: RenderSettings
     tile: int = 4096
     interpret: bool = False
+    depth: int = 8
+    num_freq_coor: int = 10
+    num_freq_dir: int = 4
+    width: int = 256
 
     def __post_init__(self):
-        self._fn = make_fused_render_fn(self.settings, self.tile, self.interpret)
+        self._fn = make_fused_render_fn(
+            self.settings, self.tile, self.interpret, self.depth,
+            self.num_freq_coor, self.num_freq_dir, self.width,
+        )
 
     @classmethod
     def from_params(
@@ -118,16 +128,19 @@ class FusedNerfRenderer:
         depth: int = 8,
         num_freq_coor: int = 10,
         num_freq_dir: int = 4,
+        width: int = 256,
         tile: int = 4096,
         interpret: bool = False,
     ) -> "FusedNerfRenderer":
         pc = pack_nerf_params(params_coarse, depth=depth,
                               num_freq_coor=num_freq_coor,
-                              num_freq_dir=num_freq_dir)
+                              num_freq_dir=num_freq_dir, width=width)
         pf = pack_nerf_params(params_fine, depth=depth,
                               num_freq_coor=num_freq_coor,
-                              num_freq_dir=num_freq_dir)
-        return cls(pc, pf, settings, tile=tile, interpret=interpret)
+                              num_freq_dir=num_freq_dir, width=width)
+        return cls(pc, pf, settings, tile=tile, interpret=interpret,
+                   depth=depth, num_freq_coor=num_freq_coor,
+                   num_freq_dir=num_freq_dir, width=width)
 
     def render(self, rays_o: jnp.ndarray, rays_d: jnp.ndarray
                ) -> Dict[str, jnp.ndarray]:

@@ -201,6 +201,7 @@ class Pipeline:
                 state.params_coarse, state.params_fine, settings,
                 num_freq_coor=cfg.embed_freq_coor,
                 num_freq_dir=cfg.embed_freq_dir, depth=cfg.netdepth,
+                width=cfg.netwidth,
             )
         else:
             render_fn = make_render_fn(cm, fm, train_cfg, mesh=self.mesh)
@@ -608,6 +609,7 @@ class Pipeline:
                 state.params_coarse, state.params_fine, settings,
                 num_freq_coor=cfg.embed_freq_coor,
                 num_freq_dir=cfg.embed_freq_dir, depth=cfg.netdepth,
+                width=cfg.netwidth,
             )
             rfn = renderer.render_image
         else:
