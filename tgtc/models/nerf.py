@@ -125,6 +125,92 @@ def make_nerf(cfg: NerfConfig, key: jax.Array) -> Tuple[NerfMLP, Params]:
     return model, params
 
 
+def _encode_t(x_t: jnp.ndarray, num_freqs: int, dtype) -> jnp.ndarray:
+    """Feature-major positional encoding: ``[3, P] → [3 + 6L, P]`` with the
+    reference feature order down axis 0."""
+    if num_freqs == 0:
+        return x_t.astype(dtype)
+    freqs = 2.0 ** jnp.arange(num_freqs, dtype=x_t.dtype)
+    xf = freqs[:, None, None] * x_t[None]          # [L, 3, P]
+    enc = jnp.stack([jnp.sin(xf), jnp.cos(xf)], 1)  # [L, 2, 3, P]
+    enc = enc.reshape(num_freqs * 6, x_t.shape[-1])
+    return jnp.concatenate([x_t, enc], axis=0).astype(dtype)
+
+
+def nerf_apply_t(
+    cfg: NerfConfig,
+    params: Params,
+    pts_t: jnp.ndarray,   # [3, P]
+    dirs_t: jnp.ndarray,  # [3, P]
+) -> Dict[str, jnp.ndarray]:
+    """Feature-major XLA trunk forward (differentiable — unlike the Pallas
+    kernel, so it serves TRAINING too).
+
+    Why: TPU VMEM tiles are (sublane, 128-lane); with activations laid out
+    ``[features, points]`` the wide point axis rides the lanes and XLA's
+    matmuls run substantially faster than the point-major flax path
+    (measured ~2.5x on v5e for the bare layer chain). Consumes the same
+    flax params as :class:`NerfMLP`; returns feature-major outputs
+    ``rgb [3, P]``, ``sigma [P]``, ``base_remap [256, P]``,
+    ``pts_embed [in_c, P]``.
+    """
+    p = params["params"]
+    cdt = cfg.compute_dtype
+    act = make_sine() if cfg.is_siren else ACTIVATIONS[cfg.act_type]
+
+    def wk(name):  # [out, in] for feature-major mm
+        return p[name]["kernel"].T.astype(cdt)
+
+    def bb(name):  # [out, 1]
+        return p[name]["bias"][:, None]
+
+    def mm(name, x):
+        return (
+            jnp.dot(wk(name), x, preferred_element_type=jnp.float32)
+            + bb(name)
+        )
+
+    if cfg.is_siren:
+        e_c = pts_t.astype(cdt)
+        e_d = dirs_t.astype(cdt)
+    else:
+        e_c = _encode_t(pts_t, cfg.embed_freq_coor, cdt)
+        e_d = _encode_t(dirs_t, cfg.embed_freq_dir, cdt)
+
+    h = act(mm("base_0", e_c)).astype(cdt)
+    for i in range(cfg.depth - 1):
+        if i in cfg.skips:
+            h = jnp.concatenate([e_c, h], axis=0)
+        h = act(mm(f"base_{i + 1}", h)).astype(cdt)
+
+    sigma = jnp.dot(
+        p["sigma"]["kernel"].T.astype(jnp.float32), h.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) + p["sigma"]["bias"][:, None]
+    if cfg.is_siren:
+        sigma = sigma + jax.nn.relu(sigma) * cfg.siren_sigma_mul
+
+    base_remap = act(mm("base_remap", h)).astype(cdt)
+    rgb_in = (
+        jnp.concatenate([base_remap, e_d], axis=0)
+        if cfg.use_viewdir else base_remap
+    )
+    rgb_fea = act(mm("rgb_0", rgb_in)).astype(cdt)
+    rgb = jax.nn.sigmoid(
+        jnp.dot(
+            p["rgb_1"]["kernel"].T.astype(jnp.float32),
+            rgb_fea.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) + p["rgb_1"]["bias"][:, None]
+    )
+    return {
+        "rgb": rgb,
+        "sigma": sigma[0],
+        "base_remap": base_remap.astype(jnp.float32),
+        "pts_embed": e_c.astype(jnp.float32),
+    }
+
+
 def nerf_apply(
     model: NerfMLP,
     params: Params,

@@ -15,9 +15,27 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from tgtc.models.nerf import NerfMLP, nerf_apply
+from tgtc.models.nerf import NerfMLP, nerf_apply, nerf_apply_t
 from tgtc.ops.composite import CompositeOutput, alpha_composite
 from tgtc.ops.sampling import merge_and_resample_fine, sample_along_rays_uniform
+
+
+def _trunk_apply(model: NerfMLP, params, pts, dirs, feature_major: bool):
+    """Dispatch point-major (flax) vs feature-major trunk evaluation;
+    inputs/outputs are point-major ``[R, S, ...]`` either way."""
+    if not feature_major:
+        return nerf_apply(model, params, pts, dirs)
+    r, s, _ = pts.shape
+    out = nerf_apply_t(
+        model.cfg, params,
+        pts.reshape(-1, 3).T, dirs.reshape(-1, 3).T,
+    )
+    return {
+        "rgb": out["rgb"].T.reshape(r, s, 3),
+        "sigma": out["sigma"].reshape(r, s),
+        "base_remap": out["base_remap"].T.reshape(r, s, -1),
+        "pts_embed": out["pts_embed"].T.reshape(r, s, -1),
+    }
 
 
 @dataclasses.dataclass(frozen=True)
@@ -32,6 +50,9 @@ class RenderSettings:
     sigma_noise_std: float = 1.0
     white_bkgd: bool = False
     perturb: bool = False  # jitter coarse depths (train: True)
+    feature_major: bool = False  # evaluate the trunk in [features, points]
+    #   layout (tgtc.models.nerf.nerf_apply_t) — faster on TPU, identical
+    #   numerics for relu trunks; differentiable, so valid for training too
 
 
 def render_rays(
@@ -65,7 +86,8 @@ def render_rays(
         key=k_coarse if settings.perturb else None,
     )
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
-    out_c = nerf_apply(coarse_model, coarse_params, pts, dirs)
+    out_c = _trunk_apply(coarse_model, coarse_params, pts, dirs,
+                         settings.feature_major)
     comp_c = alpha_composite(
         out_c["rgb"],
         out_c["sigma"],
@@ -79,7 +101,8 @@ def render_rays(
         rays_o, rays_d, ts, comp_c.weights, settings.n_samples_fine
     )
     dirs_f = jnp.broadcast_to(rays_d[:, None, :], pts_f.shape)
-    out_f = nerf_apply(fine_model, fine_params, pts_f, dirs_f)
+    out_f = _trunk_apply(fine_model, fine_params, pts_f, dirs_f,
+                         settings.feature_major)
     comp_f = alpha_composite(
         out_f["rgb"],
         out_f["sigma"],

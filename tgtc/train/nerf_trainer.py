@@ -45,6 +45,8 @@ class NerfTrainConfig:
     steps_per_opt: int = 1  # gradient accumulation (reference flag
     #                         --steps_per_opt, /root/reference/config.py:111,
     #                         declared but never wired there — functional here)
+    feature_major: bool = False  # [features, points] trunk layout (see
+    #                              RenderSettings.feature_major)
 
     def render_settings(self, perturb: bool) -> RenderSettings:
         return RenderSettings(
@@ -55,6 +57,7 @@ class NerfTrainConfig:
             sigma_noise_std=self.sigma_noise_std if perturb else 0.0,
             white_bkgd=self.white_bkgd,
             perturb=perturb,
+            feature_major=self.feature_major,
         )
 
 
