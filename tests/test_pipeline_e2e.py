@@ -100,3 +100,21 @@ def test_resume_from_checkpoint(synthetic_llff_dir, style_dir, tmp_path):
     assert int(state.step) == 10
     p2.train_nerf()  # already done — returns immediately
     p2.close()
+
+
+def test_evaluate_holdout(synthetic_llff_dir, style_dir, tmp_path):
+    """PSNR evaluation on the holdout view after a short Phase-A run."""
+    cfg = Config(
+        expname="eval", basedir=str(tmp_path / "logs"),
+        datadir=synthetic_llff_dir, styledir=style_dir, factor=1.0,
+        netdepth=2, netwidth=32, embed_freq_coor=2, embed_freq_dir=1,
+        N_samples=4, N_samples_fine=4, batch_size=256,
+        origin_step=200, i_print=1000, sigma_noise_std=0.0, use_pallas=False,
+        lrate=5e-3,
+    )
+    pipe = Pipeline(cfg)
+    pipe.train_nerf()
+    psnr = pipe.evaluate()
+    assert np.isfinite(psnr)
+    assert psnr > 18, f"holdout PSNR too low after 200 steps: {psnr:.2f}"
+    pipe.close()

@@ -645,6 +645,35 @@ class Pipeline:
             raise IOError(f"{errs} async png writes failed in {out_dir}")
         return out_dir
 
+    def evaluate(self, view: Optional[int] = None) -> float:
+        """PSNR of the trained NeRF against a ground-truth view (defaults to
+        the LLFF holdout ``i_test``). The reference never evaluates
+        quantitatively; BASELINE.md's 'PSNR within 0.1 dB' claim needs this.
+        """
+        from tgtc.ops.losses import mse2psnr
+        from tgtc.train.nerf_trainer import make_render_fn, render_image
+
+        cfg = self.cfg
+        cm, fm, state, train_cfg = self._nerf_setup()
+        render_fn = make_render_fn(cm, fm, train_cfg, mesh=self.mesh)
+        v = self.scene.i_test if view is None else view
+        h, w, _ = self.scene.hwf
+        ro, rd = rays_for_poses(
+            h, w, jnp.asarray(self.scene.intrinsics),
+            jnp.asarray(self.scene.poses[v : v + 1]),
+            use_ndc=not cfg.no_ndc, pixel_alignment=cfg.pixel_alignment,
+        )
+        out = render_image(
+            render_fn, state.params_coarse, state.params_fine,
+            jnp.reshape(ro, (-1, 3)), jnp.reshape(rd, (-1, 3)), block=16384,
+        )
+        gt = jnp.asarray(self.scene.images[v]).reshape(-1, 3)
+        mse = jnp.mean((out["rgb"] - gt) ** 2)
+        psnr = float(mse2psnr(mse))
+        self.log.log(int(state.step), {"holdout_view": v, "psnr": psnr},
+                     prefix="EVAL")
+        return psnr
+
     # ----------------------------------------------------------------- run
 
     def run(self) -> None:
