@@ -118,6 +118,13 @@ class Pipeline:
             os.path.join(self.exp_dir, "ckpt_vae"), max_to_keep=1
         )
 
+    @property
+    def _render_block(self) -> int:
+        """Rays per jitted render call — the reference's --chunk flag
+        (/root/reference/config.py:101), rounded up to a kernel-tile multiple."""
+        c = max(4096, int(self.cfg.chunk))
+        return ((c + 4095) // 4096) * 4096
+
     # ------------------------------------------------------------- phase A
 
     def _nerf_setup(self):
@@ -207,10 +214,10 @@ class Pipeline:
             render_fn = make_render_fn(cm, fm, train_cfg, mesh=self.mesh)
 
             class _R:
-                def render_image(_, ro, rd, block=16384):
+                def render_image(_, ro, rd, block=None):
                     return render_image(
                         render_fn, state.params_coarse, state.params_fine,
-                        ro, rd, block,
+                        ro, rd, block or 16384,
                     )
 
             renderer = _R()
@@ -547,7 +554,7 @@ class Pipeline:
         )
         v, h, w, _ = ro.shape
         n = h * w
-        block = 16384
+        block = self._render_block
         key = jax.random.PRNGKey(cfg.seed + 10)
         for s in range(data.style_num):
             for f in range(v):
@@ -614,8 +621,9 @@ class Pipeline:
             rfn = renderer.render_image
         else:
             xla_fn = make_render_fn(cm, fm, train_cfg, mesh=self.mesh)
-            rfn = lambda ro, rd, block=16384: render_image(
-                xla_fn, state.params_coarse, state.params_fine, ro, rd, block
+            rfn = lambda ro, rd, block=None: render_image(
+                xla_fn, state.params_coarse, state.params_fine, ro, rd,
+                block or self._render_block,
             )
 
         h, w, _ = self.scene.hwf
@@ -665,7 +673,8 @@ class Pipeline:
         )
         out = render_image(
             render_fn, state.params_coarse, state.params_fine,
-            jnp.reshape(ro, (-1, 3)), jnp.reshape(rd, (-1, 3)), block=16384,
+            jnp.reshape(ro, (-1, 3)), jnp.reshape(rd, (-1, 3)),
+            block=self._render_block,
         )
         gt = jnp.asarray(self.scene.images[v]).reshape(-1, 3)
         mse = jnp.mean((out["rgb"] - gt) ** 2)
