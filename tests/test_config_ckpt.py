@@ -98,3 +98,21 @@ class TestCheckpoint:
         )
         del chex_equal
         mgr.close()
+
+    def test_actual_reference_config_files(self):
+        """The unmodified reference configs/*.txt must load (file-format
+        compatibility contract)."""
+        import os
+
+        ref_dir = "/root/reference/configs"
+        if not os.path.isdir(ref_dir):
+            import pytest
+
+            pytest.skip("reference not mounted")
+        for name in os.listdir(ref_dir):
+            cfg = load_config(["--config", os.path.join(ref_dir, name)])
+            assert cfg.dataset_type == "llff"
+            assert cfg.batch_size == 2048
+            assert cfg.N_samples == 64
+            assert cfg.use_viewdir is True
+            assert cfg.origin_step == 120001
