@@ -90,3 +90,35 @@ def test_fused_style_render_pipeline_coarse_parity():
     np.testing.assert_allclose(
         np.asarray(out["rgb_coarse"]), np.asarray(comp_c.rgb), atol=5e-2
     )
+
+
+def test_fused_style_non_default_trunk():
+    """Regression: pack_style_params once assumed a 256-wide trunk."""
+    key = jax.random.PRNGKey(0)
+    nerf_cfg = NerfConfig(depth=4, width=64, embed_freq_coor=4,
+                          embed_freq_dir=2, skips=(2,))
+    model, nerf_params = make_nerf(nerf_cfg, key)
+    field = StyleFieldConfig(style_d=4, width=64, latent_dim=8,
+                             embed_dim=nerf_cfg.input_ch, skip=2)
+    cm, p_concat, sm, p_style = make_style_mlps(field, jax.random.fold_in(key, 1))
+    packed = pack_style_params(
+        nerf_params, p_concat, p_style, depth=4, num_freq_coor=4, skip=2,
+        style_d=4, style_width=64, latent_dim=8, trunk_width=64,
+    )
+    p = 128
+    pts = jax.random.uniform(jax.random.fold_in(key, 2), (p, 3))
+    lat = jax.random.normal(jax.random.fold_in(key, 3), (p, 8)) * 0.3
+    rgb_t, sigma_t = fused_style_apply_t(
+        *packed, pts.T, lat.T, depth=4, skip=2, num_freq_coor=4,
+        style_d=4, style_width=64, latent_dim=8, trunk_width=64,
+        tile=128, interpret=True,
+    )
+    out = nerf_apply(model, nerf_params, pts, jnp.ones((p, 3)))
+    cf = cm.apply(p_concat, out["pts_embed"], lat)
+    concated = jnp.concatenate([out["base_remap"], cf], axis=-1)
+    lat_scalar = jnp.broadcast_to(jnp.mean(lat, -1, keepdims=True), lat.shape)
+    rgb_ref = sm.apply(p_style, out["pts_embed"], concated, lat_scalar)
+    np.testing.assert_allclose(np.asarray(rgb_t.T), np.asarray(rgb_ref),
+                               atol=4e-2)
+    np.testing.assert_allclose(np.asarray(sigma_t[0]),
+                               np.asarray(out["sigma"]), atol=2e-1)
