@@ -56,3 +56,23 @@ def test_outputs_and_resume(tmp_path):
         if "depth" in f:
             continue
         assert os.path.getmtime(os.path.join(out, f)) == mtimes[f], f
+
+
+def test_write_video(tmp_path):
+    from PIL import Image
+
+    from tgtc.utils.video import write_video
+
+    d = str(tmp_path / "r")
+    import os
+
+    os.makedirs(d)
+    for i in range(4):
+        img = np.full((8, 8, 3), i * 60, np.uint8)
+        Image.fromarray(img).save(
+            os.path.join(d, f"style_00000_fine_{i:05d}.png")
+        )
+    out = write_video(d, fps=10)
+    assert out.endswith(".gif") and os.path.getsize(out) > 0
+    gif = Image.open(out)
+    assert getattr(gif, "n_frames", 1) == 4
