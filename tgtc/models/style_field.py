@@ -144,7 +144,13 @@ def lookup_latents(
     llff_tile: bool = True,
 ) -> jnp.ndarray:
     """Per-ray latent lookup with shrinkage toward the style mean
-    (parity with forward, /root/reference/models.py:490-506)."""
+    (parity with forward, /root/reference/models.py:490-506).
+
+    Note: the llff x7 tiling exists so novel-view frame ids (up to 120
+    spiral poses) stay in range for scenes with >=18 training frames (fern
+    has 20). For smaller scenes jnp's clamping gather returns the last row
+    instead of crashing (torch would raise) — acceptable because novel-view
+    latents are style-mean-shrunk anyway."""
     s, f, d = latent_state["latents"].shape
     flat_ids = style_ids * f + frame_ids
     table = latent_state["latents"].reshape(-1, d)
