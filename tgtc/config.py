@@ -120,6 +120,8 @@ class Config:
     debug_nans: bool = False     # jax_debug_nans — the analog of the
     #                              reference's autograd anomaly mode
     #                              (/root/reference/train_tgtcs.py:311)
+    profile_dir: str = ""        # capture a jax.profiler trace of the first
+    #                              training steps into this directory
 
     @property
     def exp_dir(self) -> str:

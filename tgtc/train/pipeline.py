@@ -172,10 +172,20 @@ class Pipeline:
 
         step_fn = make_train_step(cm, fm, train_cfg, mesh=self.mesh)
         key = jax.random.PRNGKey(cfg.seed + 1)
+        profiling = False
+        if cfg.profile_dir:
+            # device-level tracing (the deep version of the reference's
+            # wall-clock segment timers, /root/reference/train_tgtcs.py:219)
+            jax.profiler.start_trace(cfg.profile_dir)
+            profiling = True
         self.timer.start("model")
         while int(state.step) < cfg.origin_step:
             state, metrics = step_fn(state, rays_o, rays_d, rgb_gt, key)
             step = int(state.step)
+            if profiling and step >= 20:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                profiling = False
             if step % cfg.i_print == 0:
                 self.timer.start("log")
                 m = {k: float(v) for k, v in metrics.items()}
