@@ -229,3 +229,46 @@ class TestTransformerConversion:
         assert ref_flat == got_flat, f"{ref_flat}\n!=\n{got_flat}"
         out = model.apply(params, s, c)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestReferenceCheckpointLoaders:
+    def test_nerf_tar_roundtrip(self, tmp_path):
+        """Fabricate a reference-layout .tar and load it."""
+        from tgtc.models.torch_compat import load_reference_nerf_checkpoint
+
+        D, W, in_c, in_d = 2, 8, 15, 9
+        def mk_sd():
+            sd = {}
+            dims = [(in_c, W), (W, W)]
+            for i, (a, b) in enumerate(dims):
+                sd[f"base_layers.{i}.weight"] = torch.randn(b, a)
+                sd[f"base_layers.{i}.bias"] = torch.randn(b)
+            sd["sigma_layer.weight"] = torch.randn(1, W)
+            sd["sigma_layer.bias"] = torch.randn(1)
+            sd["base_remap_layer.weight"] = torch.randn(256, W)
+            sd["base_remap_layer.bias"] = torch.randn(256)
+            sd["rgb_layers.0.weight"] = torch.randn(W // 2, 256 + in_d)
+            sd["rgb_layers.0.bias"] = torch.randn(W // 2)
+            sd["rgb_layers.1.weight"] = torch.randn(3, W // 2)
+            sd["rgb_layers.1.bias"] = torch.randn(3)
+            return sd
+
+        p = str(tmp_path / "000123.tar")
+        torch.save({"global_step": 123, "model": mk_sd(),
+                    "model_fine": mk_sd()}, p)
+        step, coarse, fine = load_reference_nerf_checkpoint(p, depth=D)
+        assert step == 123
+        assert coarse["params"]["base_0"]["kernel"].shape == (in_c, 8)
+        assert fine is not None
+
+    def test_latent_tar(self, tmp_path):
+        from tgtc.models.torch_compat import load_reference_latent_checkpoint
+
+        sd = {"latents": torch.randn(1, 20, 32),
+              "style_latents_mu": torch.randn(1, 32),
+              "style_latents_logvar": torch.randn(1, 32)}
+        p = str(tmp_path / "latent_000001.tar")
+        torch.save({"train_set_1": sd}, p)
+        lat = load_reference_latent_checkpoint(p)
+        assert lat["latents"].shape == (1, 20, 32)
+        assert lat["mu"].shape == (1, 32)

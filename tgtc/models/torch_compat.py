@@ -155,6 +155,48 @@ def convert_torch_nerf(sd: Dict[str, Any], depth: int = 8) -> Dict[str, Any]:
     return {"params": p}
 
 
+def load_reference_nerf_checkpoint(path: str, depth: int = 8):
+    """Load a reference NeRF ``%06d.tar`` (torch.save dict with keys
+    ``global_step``, ``model``, ``model_fine`` —
+    /root/reference/train_tgtcs.py:286-296) → (step, params_coarse,
+    params_fine) in tgtc layout."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    step = int(ckpt.get("global_step", 0))
+    coarse = convert_torch_nerf(ckpt["model"], depth=depth)
+    fine = (
+        convert_torch_nerf(ckpt["model_fine"], depth=depth)
+        if "model_fine" in ckpt else None
+    )
+    return step, coarse, fine
+
+
+def load_reference_style_checkpoint(path: str):
+    """Load a reference ``style_%06d.tar`` (keys ``model`` = style MLP,
+    ``concat_model`` — /root/reference/train_tgtcs.py:503-560) →
+    {"concat": ..., "style": ...} flax params."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    return convert_torch_style_mlps(ckpt["concat_model"], ckpt["model"])
+
+
+def load_reference_latent_checkpoint(path: str):
+    """Load a reference ``latent_%06d.tar`` (key ``train_set_1`` =
+    StyleLatents_variational state dict —
+    /root/reference/train_tgtcs.py:143-146) → latent-state dict."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["train_set_1"] if "train_set_1" in ckpt else ckpt
+    return {
+        "latents": jnp.asarray(_np(sd["latents"])),
+        "mu": jnp.asarray(_np(sd["style_latents_mu"])),
+        "logvar": jnp.asarray(_np(sd["style_latents_logvar"])),
+    }
+
+
 def convert_torch_style_mlps(
     concat_sd: Dict[str, Any], style_sd: Dict[str, Any]
 ) -> Dict[str, Any]:
