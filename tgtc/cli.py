@@ -20,6 +20,14 @@ from tgtc.train.pipeline import Pipeline
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    import os
+
+    if os.environ.get("TGTC_DISTRIBUTED") == "1":
+        # multi-host: one global mesh over all processes; coordinator/rank
+        # discovered from the cluster env (GKE/SLURM) by jax itself
+        import jax
+
+        jax.distributed.initialize()
     cfg = load_config(argv)
     if cfg.debug_nans:
         import jax
