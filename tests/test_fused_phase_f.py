@@ -1,0 +1,80 @@
+"""The pipeline's fused (Pallas) Phase-F branch, driven end-to-end with the
+kernel in interpret mode (regression for the packing/width bugs this path
+has caught twice)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tgtc.config import Config
+from tgtc.models.transformer import TransformerConfig
+from tgtc.train.pipeline import Pipeline
+
+
+@pytest.mark.slow
+def test_fused_stylized_render_through_pipeline(
+    synthetic_llff_dir, tmp_path, monkeypatch
+):
+    from PIL import Image
+
+    import tgtc.render.fast_style as fs
+
+    styles = tmp_path / "styles"
+    styles.mkdir()
+    rng = np.random.default_rng(7)
+    Image.fromarray(
+        (rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8)
+    ).save(styles / "s.png")
+
+    cfg = Config(
+        expname="fusedf", basedir=str(tmp_path / "logs"),
+        datadir=synthetic_llff_dir, styledir=str(styles), factor=1.0,
+        use_viewdir=True, netdepth=2, netwidth=32, netdepth_fine=2,
+        netwidth_fine=32, embed_freq_coor=2, embed_freq_dir=1,
+        N_samples=4, N_samples_fine=4, batch_size=128, batch_size_style=32,
+        origin_step=10, total_step=15, style_D=4, vae_latent=8, vae_w=16,
+        vae_d=2, style_feature_dim=64, i_print=1000, sigma_noise_std=0.0,
+        use_pallas=True, chunk=4096,
+    )
+    pipe = Pipeline(cfg)
+    pipe.trans_cfg = TransformerConfig(
+        d_model=32, nhead=2, num_encoder_layers=1, num_decoder_layers=1,
+        dim_feedforward=32, dropout=0.0,
+    )
+    pipe.vae_iters = 2
+    pipe.vae_patch = 32
+
+    # force the fused branch on CPU: interpret-mode kernel + fake backend
+    orig = fs.FusedStyleRenderer.from_params.__func__
+
+    def patched(cls, *a, **kw):
+        kw["interpret"] = True
+        kw["tile"] = 128
+        return orig(cls, *a, **kw)
+
+    monkeypatch.setattr(fs.FusedStyleRenderer, "from_params",
+                        classmethod(patched))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    # run phases (XLA geometry path: use_pallas gates on default_backend,
+    # so temporarily restore it for the non-F phases)
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    pipe.train_nerf()
+    pipe.ensure_geometry()
+    pipe.ensure_style2d(c1_iters=2, c2_iters=1)
+    pipe.train_style3d()
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    out_dir = pipe.render_stylized("train")
+
+    files = sorted(f for f in os.listdir(out_dir) if "depth" not in f)
+    assert len(files) == 8  # 8 training views, 1 style
+    img = np.asarray(
+        __import__("PIL.Image", fromlist=["Image"]).open(
+            os.path.join(out_dir, files[0])
+        )
+    )
+    assert img.std() > 0  # non-constant render
+    pipe.close()
