@@ -79,6 +79,12 @@ class Pipeline:
         self.log = MetricsLogger(os.path.join(self.exp_dir, "logs"))
         self.timer = SegmentTimer()
 
+        if cfg.dataset_type != "llff":
+            # parity with the reference, which exits on unknown dataset
+            # types (/root/reference/dataset.py:83-86)
+            raise ValueError(
+                f"dataset_type {cfg.dataset_type!r} not supported (llff only)"
+            )
         self.scene: LlffScene = load_llff_data(
             cfg.datadir, int(cfg.factor) if cfg.factor else 1,
             spherify=cfg.spherify,
