@@ -29,6 +29,9 @@ TINY_CFG = TransformerConfig(
 
 class TestVgg:
     def test_pyramid_shapes(self):
+        """Default (truncated) parity: the de-facto reference builds StyTrans
+        with vgg[:31], so its 5th pyramid level IS relu4_1
+        (/root/reference/trans_train.py:113-115)."""
         model, params = make_vgg(jax.random.PRNGKey(0), image_size=64)
         x = jnp.ones((2, 64, 64, 3))
         feats = model.apply(params, x)
@@ -38,8 +41,17 @@ class TestVgg:
             (2, 32, 32, 128),
             (2, 16, 16, 256),
             (2, 8, 8, 512),
-            (2, 4, 4, 512),
+            (2, 8, 8, 512),  # empty enc_5 → same tensor as relu4_1
         ]
+        np.testing.assert_array_equal(np.asarray(feats[3]),
+                                      np.asarray(feats[4]))
+
+    def test_pyramid_shapes_full(self):
+        """truncated=False computes a genuine relu5_1."""
+        model = VggEncoder(truncated=False)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        feats = model.apply(params, jnp.ones((2, 64, 64, 3)))
+        assert feats[4].shape == (2, 4, 4, 512)
 
     def test_ceil_max_pool_odd(self):
         x = jnp.arange(25, dtype=jnp.float32).reshape(1, 5, 5, 1)

@@ -53,13 +53,26 @@ def ceil_max_pool(x: jnp.ndarray) -> jnp.ndarray:
 class VggEncoder(nn.Module):
     """Returns the 5-level feature pyramid [relu1_1 ... relu5_1] for NHWC
     input in [0, 1] (the normalised VGG consumes raw RGB; no mean/std
-    preprocessing, parity with the reference)."""
+    preprocessing, parity with the reference).
+
+    ``truncated=True`` (default) reproduces the de-facto reference: StyTrans
+    is always constructed with ``vgg[:31]`` (/root/reference/trans_train.py:
+    113-115, /root/reference/train_style_modules.py:344), so its
+    ``enc_5 = layers[31:44]`` slice of a 31-layer list is an EMPTY
+    Sequential — the "relu5_1" pyramid level is identically relu4_1 (no
+    pool, no convs). Set ``truncated=False`` for a genuine relu5_1.
+    """
+
+    truncated: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
         feats = []
         first = True
         for si, stage in enumerate(_STAGES):
+            if si == 4 and self.truncated:
+                feats.append(x)  # empty enc_5: relu5_1 == relu4_1
+                break
             if si > 0:
                 x = ceil_max_pool(x)
             for name, ch in stage:

@@ -103,6 +103,16 @@ class Pipeline:
             use_viewdir=cfg.use_viewdir, act_type=cfg.act_type,
             siren_sigma_mul=cfg.siren_sigma_mul,
         )
+        # the fine net gets its own dims — the reference selects
+        # netdepth_fine/netwidth_fine for mode='fine'
+        # (/root/reference/models.py:202-205)
+        self.nerf_cfg_fine = NerfConfig(
+            depth=cfg.netdepth_fine, width=cfg.netwidth_fine,
+            embed_freq_coor=cfg.embed_freq_coor,
+            embed_freq_dir=cfg.embed_freq_dir,
+            use_viewdir=cfg.use_viewdir, act_type=cfg.act_type,
+            siren_sigma_mul=cfg.siren_sigma_mul,
+        )
         # override for tests / small runs before calling phase methods
         self.trans_cfg = TransformerConfig()
         self.vae_iters = 2000
@@ -145,7 +155,8 @@ class Pipeline:
             near=self.near, far=self.far, white_bkgd=cfg.white_bkgd,
         )
         cm, fm, state = init_state(
-            jax.random.PRNGKey(cfg.seed), self.nerf_cfg, train_cfg
+            jax.random.PRNGKey(cfg.seed), self.nerf_cfg, train_cfg,
+            fine_cfg=self.nerf_cfg_fine,
         )
         if self.nerf_ckpt.latest_step() is not None and not cfg.no_reload:
             state = self.nerf_ckpt.restore(state)
@@ -224,7 +235,8 @@ class Pipeline:
                 state.params_coarse, state.params_fine, settings,
                 num_freq_coor=cfg.embed_freq_coor,
                 num_freq_dir=cfg.embed_freq_dir, depth=cfg.netdepth,
-                width=cfg.netwidth,
+                width=cfg.netwidth, depth_fine=cfg.netdepth_fine,
+                width_fine=cfg.netwidth_fine,
             )
         else:
             render_fn = make_render_fn(cm, fm, train_cfg, mesh=self.mesh)
@@ -245,9 +257,22 @@ class Pipeline:
     # ------------------------------------------------------------- phase C
 
     def _stytrans_setup(self):
+        """Build StyTrans and overlay the reference's pretrained assets —
+        the frozen VGG and the decoder MUST start from ``vgg_normalised.pth``
+        / ``decoder.pth`` when available (the reference loads them before C1,
+        /root/reference/trans_train.py:112-118); a transformer trained
+        against a random frozen VGG minimizes a meaningless objective."""
+        from tgtc.train.pretrained import overlay_stytrans_params
+
         model, params = make_stytrans(
             jax.random.PRNGKey(self.cfg.seed + 2), self.trans_cfg,
             image_size=32,
+        )
+        params, self._pretrained_loaded = overlay_stytrans_params(
+            params,
+            vgg_pth_path=self.cfg.vgg_pth_path,
+            decoder_pth_path=self.cfg.decoder_pth_path,
+            pretrained_dir=os.path.dirname(self.cfg.vgg_pth_path or ""),
         )
         return model, params
 
@@ -314,7 +339,11 @@ class Pipeline:
         renders = np.stack(
             [_load_image(p) for p in content_paths], 0
         )
-        style0 = _load_image(style_paths[0], (512, 512))
+        # the reference draws a NEW random style every C2 iteration
+        # (next(style_iter), /root/reference/train_style_modules.py:452-455)
+        styles_512 = np.stack(
+            [_load_image(p, (512, 512)) for p in style_paths], 0
+        )
         from tgtc.train.transformer2d import init_transformer_train as _init
 
         c2state = _init(tstate.params, TransformerTrainConfig(lr=ccfg.lr),
@@ -331,9 +360,10 @@ class Pipeline:
                 coor_maps[ids][:, y0 : y0 + patch, x0 : x0 + patch])
             sy = rng.integers(0, 512 - patch + 1)
             sx = rng.integers(0, 512 - patch + 1)
+            s_id = rng.integers(0, styles_512.shape[0])
             style = jnp.asarray(
                 np.broadcast_to(
-                    style0[None, sy : sy + patch, sx : sx + patch],
+                    styles_512[s_id, None, sy : sy + patch, sx : sx + patch],
                     (ccfg.batch_size, patch, patch, 3),
                 ).copy()
             )
@@ -344,11 +374,15 @@ class Pipeline:
             if (i + 1) % 20 == 0:
                 self.log.log(i + 1, m, prefix="TEMPORAL")
 
-        # ---- C3 bulk stylize
-        style_img = _load_image(style_paths[0])
-        stylize_directory(
-            model, c2state.params, self.gen_dir, style_img,
-            os.path.basename(style_paths[0]), self.stylized_dir,
+        # ---- C3 bulk stylize — over ALL styles, populating the [S, F]
+        # style axis Phase E consumes
+        from tgtc.train.stylize import stylize_all
+
+        stylize_all(
+            model, c2state.params, self.gen_dir,
+            [_load_image(p) for p in style_paths],
+            [os.path.basename(p) for p in style_paths],
+            self.stylized_dir,
         )
         # C2's optimizer state has a different label tree than C1's — it
         # gets its own checkpoint directory so a C1 restore never sees it
@@ -383,7 +417,34 @@ class Pipeline:
         if self.vae_ckpt.latest_step() is not None:
             vstate = self.vae_ckpt.restore(vstate)
             return model, vstate
+        # pretrained vae.pth short-circuits training, like the reference's
+        # load-if-exists (/root/reference/train_style_modules.py:271-274)
+        from tgtc.train.pretrained import (
+            _shapes_compatible, load_vae_params, load_vgg_overlay,
+        )
+
+        pre = load_vae_params(cfg.vae_pth_path, depth=cfg.vae_d)
+        if pre is not None and not _shapes_compatible(
+            vstate.params, pre, "VAE"
+        ):
+            pre = None
+        if pre is not None:
+            vstate = vstate.replace(
+                params=pre, step=jnp.asarray(tcfg.max_iter, jnp.int32)
+            )
+            self.vae_ckpt.save(int(vstate.step), jax.device_get(vstate),
+                               force=True)
+            return model, vstate
         vgg, vgg_params = make_vgg(jax.random.PRNGKey(0), image_size=64)
+        vgg_overlay = load_vgg_overlay(cfg.vgg_pth_path)
+        if vgg_overlay is not None:
+            # features must come from the pretrained VGG
+            # (/root/reference/train_style_modules.py:276-279)
+            from tgtc.train.pretrained import _filter_to
+
+            vgg_params = {
+                "params": _filter_to(vgg_params["params"], vgg_overlay)
+            }
         style_paths = _list_images(cfg.styledir)
         rng = np.random.default_rng(cfg.seed)
         step_fn = make_vae_train_step(model, tcfg)
@@ -566,7 +627,8 @@ class Pipeline:
             style_d=cfg.style_D, style_width=cfg.netwidth,
             latent_dim=cfg.vae_latent, sigma_scale=cfg.sigma_scale,
             llff_tile=cfg.dataset_type == "llff",
-            trunk_width=cfg.netwidth,
+            trunk_width=cfg.netwidth, depth_fine=cfg.netdepth_fine,
+            trunk_width_fine=cfg.netwidth_fine,
         )
         v, h, w, _ = ro.shape
         n = h * w
@@ -632,7 +694,8 @@ class Pipeline:
                 state.params_coarse, state.params_fine, settings,
                 num_freq_coor=cfg.embed_freq_coor,
                 num_freq_dir=cfg.embed_freq_dir, depth=cfg.netdepth,
-                width=cfg.netwidth,
+                width=cfg.netwidth, depth_fine=cfg.netdepth_fine,
+                width_fine=cfg.netwidth_fine,
             )
             rfn = renderer.render_image
         else:
@@ -716,6 +779,12 @@ class Pipeline:
             self.render_plain("train")
             return
         self.train_nerf()
+        # quality evidence on every run: holdout-view PSNR right after
+        # Phase A (the reference never evaluates quantitatively — SURVEY §4)
+        try:
+            self.evaluate()
+        except Exception as e:  # never let eval kill a training run
+            print(f"[eval] holdout PSNR failed: {e}", flush=True)
         self.ensure_geometry()
         self.ensure_style2d()
         self.train_style3d()
