@@ -60,19 +60,21 @@ def convert_torch_transformer(
     """Reference ``Transformer`` state dict
     (/root/reference/transformer.py:13-44) → tgtc StyleTransformer params.
 
-    The content encoder uses the fused ``qk`` projection, the style encoder
-    the fused ``qkv`` (selection logic at /root/reference/transformer.py:
-    172-177); the unused fused projection of each layer and the dead
-    ``new_ps`` conv are dropped.
+    Every encoder layer carries BOTH fused projections: ``pos`` selects the
+    branch per call (/root/reference/transformer.py:172-177) and the three
+    StyTrans invocations (Ics/Icc/Iss, /root/reference/tctrans.py:204-220)
+    between them exercise both branches on both encoders. The dead
+    ``new_ps`` conv is dropped.
     """
     params: Dict[str, Any] = {}
     for i in range(num_encoder_layers):
-        for ours, theirs, fused in (
-            (f"enc_s_{i}", f"encoder_s.layers.{i}", "qkv"),
-            (f"enc_c_{i}", f"encoder_c.layers.{i}", "qk"),
+        for ours, theirs in (
+            (f"enc_s_{i}", f"encoder_s.layers.{i}"),
+            (f"enc_c_{i}", f"encoder_c.layers.{i}"),
         ):
             params[ours] = {
-                fused: _dense(sd[f"{theirs}.{fused}.weight"]),
+                "qkv": _dense(sd[f"{theirs}.qkv.weight"]),
+                "qk": _dense(sd[f"{theirs}.qk.weight"]),
                 "self_attn": _mha(f"{theirs}.self_attn", sd),
                 "linear1": _dense(sd[f"{theirs}.linear1.weight"],
                                   sd[f"{theirs}.linear1.bias"]),
@@ -155,18 +157,21 @@ def convert_torch_nerf(sd: Dict[str, Any], depth: int = 8) -> Dict[str, Any]:
     return {"params": p}
 
 
-def load_reference_nerf_checkpoint(path: str, depth: int = 8):
+def load_reference_nerf_checkpoint(path: str, depth: int = 8,
+                                   depth_fine: int = None):
     """Load a reference NeRF ``%06d.tar`` (torch.save dict with keys
     ``global_step``, ``model``, ``model_fine`` —
     /root/reference/train_tgtcs.py:286-296) → (step, params_coarse,
-    params_fine) in tgtc layout."""
+    params_fine) in tgtc layout. ``depth_fine`` defaults to ``depth``
+    (the reference sizes the fine net via netdepth_fine,
+    /root/reference/models.py:202-205)."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     step = int(ckpt.get("global_step", 0))
     coarse = convert_torch_nerf(ckpt["model"], depth=depth)
     fine = (
-        convert_torch_nerf(ckpt["model_fine"], depth=depth)
+        convert_torch_nerf(ckpt["model_fine"], depth=depth_fine or depth)
         if "model_fine" in ckpt else None
     )
     return step, coarse, fine
@@ -215,3 +220,35 @@ def convert_torch_style_mlps(
     style["rgb_out"] = _dense(style_sd[f"layers.{n_style - 1}.weight"],
                               style_sd[f"layers.{n_style - 1}.bias"])
     return {"concat": {"params": concat}, "style": {"params": style}}
+
+
+def convert_torch_stytrans(
+    vgg_sd: Dict[str, Any],
+    decoder_sd: Dict[str, Any],
+    embedding_sd: Dict[str, Any],
+    transformer_sd: Dict[str, Any],
+    num_encoder_layers: int = 3,
+    num_decoder_layers: int = 3,
+) -> Dict[str, Any]:
+    """Assemble a full StyTrans param tree from the reference's four torch
+    state dicts (vgg_normalised.pth / decoder.pth / embedding_iter_*.pth /
+    transformer_iter_*.pth — the exact assets train_temporal_invoke loads,
+    /root/reference/train_style_modules.py:339-374).
+
+    The VGG subtree carries all 14 convs; the truncated (reference-parity)
+    VggEncoder uses only the first 10 — filter with
+    tgtc.train.pretrained._filter_to when overlaying.
+    """
+    from tgtc.models.decoder import convert_torch_decoder
+    from tgtc.models.vgg import convert_torch_vgg
+
+    return {
+        "params": {
+            "vgg": convert_torch_vgg(vgg_sd)["params"],
+            "decode": convert_torch_decoder(decoder_sd)["params"],
+            "embedding": convert_torch_patch_embed(embedding_sd)["params"],
+            "transformer": convert_torch_transformer(
+                transformer_sd, num_encoder_layers, num_decoder_layers
+            )["params"],
+        }
+    }

@@ -46,9 +46,14 @@ def make_fused_render_fn(
     num_freq_coor: int = 10,
     num_freq_dir: int = 4,
     width: int = 256,
+    depth_fine: int = None,
+    width_fine: int = None,
 ):
     """Build a jitted ``(w1c, w2c, encc, w1f, w2f, encf, rays_o, rays_d) ->
     outputs`` render function using the fused trunk kernel for both passes.
+
+    ``depth_fine``/``width_fine`` default to the coarse dims; the reference
+    sizes the fine net separately (/root/reference/models.py:202-205).
 
     Ray count must make R*(Nc) and R*(Nc+Nf) multiples of ``tile``
     (R a multiple of tile works since Nc, Nc+Nf are powers of two / even).
@@ -57,6 +62,7 @@ def make_fused_render_fn(
     kw = dict(depth=depth, num_freq_coor=num_freq_coor,
               num_freq_dir=num_freq_dir, width=width, tile=tile,
               interpret=interpret)
+    kw_f = dict(kw, depth=depth_fine or depth, width=width_fine or width)
 
     @jax.jit
     def render(w1c, w2c, encc, w1f, w2f, encf, rays_o, rays_d):
@@ -78,7 +84,7 @@ def make_fused_render_fn(
         ts_f = jnp.sort(jnp.concatenate([ts, t_new], axis=-1), axis=-1)
 
         ptf, dtf = _points_t(rays_o, rays_d, ts_f)
-        rgb_t, sigma_t = fused_nerf_apply_t(w1f, w2f, encf, ptf, dtf, **kw)
+        rgb_t, sigma_t = fused_nerf_apply_t(w1f, w2f, encf, ptf, dtf, **kw_f)
         rgb_f = rgb_t.reshape(3, r, nf).transpose(1, 2, 0)
         sigma_f = sigma_t.reshape(r, nf)
         comp_f = alpha_composite(rgb_f, sigma_f, ts_f,
@@ -112,11 +118,14 @@ class FusedNerfRenderer:
     num_freq_coor: int = 10
     num_freq_dir: int = 4
     width: int = 256
+    depth_fine: int = None
+    width_fine: int = None
 
     def __post_init__(self):
         self._fn = make_fused_render_fn(
             self.settings, self.tile, self.interpret, self.depth,
             self.num_freq_coor, self.num_freq_dir, self.width,
+            self.depth_fine, self.width_fine,
         )
 
     @classmethod
@@ -131,16 +140,20 @@ class FusedNerfRenderer:
         width: int = 256,
         tile: int = 4096,
         interpret: bool = False,
+        depth_fine: int = None,
+        width_fine: int = None,
     ) -> "FusedNerfRenderer":
         pc = pack_nerf_params(params_coarse, depth=depth,
                               num_freq_coor=num_freq_coor,
                               num_freq_dir=num_freq_dir, width=width)
-        pf = pack_nerf_params(params_fine, depth=depth,
+        pf = pack_nerf_params(params_fine, depth=depth_fine or depth,
                               num_freq_coor=num_freq_coor,
-                              num_freq_dir=num_freq_dir, width=width)
+                              num_freq_dir=num_freq_dir,
+                              width=width_fine or width)
         return cls(pc, pf, settings, tile=tile, interpret=interpret,
                    depth=depth, num_freq_coor=num_freq_coor,
-                   num_freq_dir=num_freq_dir, width=width)
+                   num_freq_dir=num_freq_dir, width=width,
+                   depth_fine=depth_fine, width_fine=width_fine)
 
     def render(self, rays_o: jnp.ndarray, rays_d: jnp.ndarray
                ) -> Dict[str, jnp.ndarray]:

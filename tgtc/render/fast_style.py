@@ -35,15 +35,22 @@ def make_fused_style_render_fn(
     tile: int = 2048,
     interpret: bool = False,
     trunk_width: int = 256,
+    depth_fine: int = None,
+    trunk_width_fine: int = None,
 ):
     """Jitted ``(packed_c(4), packed_f(4), latent_state, rays_o, rays_d,
-    style_ids, frame_ids, key) → {"rgb", "t_exp"}`` renderer."""
+    style_ids, frame_ids, key) → {"rgb", "t_exp"}`` renderer.
+
+    ``depth_fine``/``trunk_width_fine`` size the fine NeRF trunk separately
+    (reference /root/reference/models.py:202-205); default = coarse dims."""
     nc = settings.n_samples
     nf = settings.n_samples + settings.n_samples_fine
 
     kw = dict(depth=depth, num_freq_coor=num_freq_coor, style_d=style_d,
               style_width=style_width, latent_dim=latent_dim,
               trunk_width=trunk_width, tile=tile, interpret=interpret)
+    kw_f = dict(kw, depth=depth_fine or depth,
+                trunk_width=trunk_width_fine or trunk_width)
 
     @jax.jit
     def render(wtc, wsc, wgc, encc, wtf, wsf, wgf, encf,
@@ -52,7 +59,7 @@ def make_fused_style_render_fn(
         lat = lookup_latents(latent_state, style_ids, frame_ids,
                              sigma_scale, llff_tile)          # [R, L]
 
-        def run(packed, ts):
+        def run(packed, ts, kw):
             s = ts.shape[1]
             pt, _ = _points_t(rays_o, rays_d, ts)
             lat_t = jnp.broadcast_to(
@@ -68,13 +75,13 @@ def make_fused_style_render_fn(
             rays_o, rays_d, nc, near=settings.near, far=settings.far,
             key=key,  # perturb=True at render, reference parity
         )
-        comp_c = run((wtc, wsc, wgc, encc), ts)
+        comp_c = run((wtc, wsc, wgc, encc), ts, kw)
 
         ts_mid = 0.5 * (ts[..., 1:] + ts[..., :-1])
         t_new = sample_pdf(ts_mid, comp_c.weights[..., 1:-1],
                            settings.n_samples_fine)
         ts_f = jnp.sort(jnp.concatenate([ts, t_new], axis=-1), axis=-1)
-        comp_f = run((wtf, wsf, wgf, encf), ts_f)
+        comp_f = run((wtf, wsf, wgf, encf), ts_f, kw_f)
 
         return {"rgb": comp_f.rgb, "t_exp": comp_f.t_exp,
                 "rgb_coarse": comp_c.rgb}
@@ -100,12 +107,15 @@ class FusedStyleRenderer:
     tile: int = 2048
     interpret: bool = False
     trunk_width: int = 256
+    depth_fine: int = None
+    trunk_width_fine: int = None
 
     def __post_init__(self):
         self._fn = make_fused_style_render_fn(
             self.settings, self.depth, self.num_freq_coor, self.style_d,
             self.style_width, self.latent_dim, self.sigma_scale,
             self.llff_tile, self.tile, self.interpret, self.trunk_width,
+            self.depth_fine, self.trunk_width_fine,
         )
 
     @classmethod
@@ -116,17 +126,20 @@ class FusedStyleRenderer:
         style_width: int = 256, latent_dim: int = 32,
         sigma_scale: float = 1.0, llff_tile: bool = True,
         tile: int = 2048, interpret: bool = False, trunk_width: int = 256,
+        depth_fine: int = None, trunk_width_fine: int = None,
     ) -> "FusedStyleRenderer":
-        pk = lambda npar: pack_style_params(
-            npar, concat_params, style_params, depth=depth,
+        pk = lambda npar, d, w: pack_style_params(
+            npar, concat_params, style_params, depth=d,
             num_freq_coor=num_freq_coor, style_d=style_d,
             style_width=style_width, latent_dim=latent_dim,
-            trunk_width=trunk_width,
+            trunk_width=w,
         )
-        return cls(pk(nerf_params_coarse), pk(nerf_params_fine),
+        return cls(pk(nerf_params_coarse, depth, trunk_width),
+                   pk(nerf_params_fine, depth_fine or depth,
+                      trunk_width_fine or trunk_width),
                    latent_state, settings, depth, num_freq_coor, style_d,
                    style_width, latent_dim, sigma_scale, llff_tile, tile,
-                   interpret, trunk_width)
+                   interpret, trunk_width, depth_fine, trunk_width_fine)
 
     def render(self, rays_o, rays_d, style_ids, frame_ids, key):
         return self._fn(*self.packed_coarse, *self.packed_fine,

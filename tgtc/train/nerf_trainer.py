@@ -78,11 +78,15 @@ def make_optimizer(cfg: NerfTrainConfig) -> optax.GradientTransformation:
 
 
 def init_state(
-    key: jax.Array, nerf_cfg: NerfConfig, train_cfg: NerfTrainConfig
+    key: jax.Array, nerf_cfg: NerfConfig, train_cfg: NerfTrainConfig,
+    fine_cfg: Optional[NerfConfig] = None,
 ) -> Tuple[NerfMLP, NerfMLP, NerfTrainState]:
+    """``fine_cfg`` lets the fine network use its own depth/width — the
+    reference selects ``netdepth_fine``/``netwidth_fine`` for mode='fine'
+    (/root/reference/models.py:202-205). Defaults to ``nerf_cfg``."""
     k1, k2 = jax.random.split(key)
     coarse_model, params_c = make_nerf(nerf_cfg, k1)
-    fine_model, params_f = make_nerf(nerf_cfg, k2)
+    fine_model, params_f = make_nerf(fine_cfg or nerf_cfg, k2)
     tx = make_optimizer(train_cfg)
     opt_state = tx.init({"coarse": params_c, "fine": params_f})
     state = NerfTrainState(
