@@ -222,8 +222,15 @@ class TestTransformerConversion:
         model = StyleTransformer(cfg)
         s = jnp.asarray(rng.normal(size=(1, 2, 2, d)).astype(np.float32))
         c = jnp.asarray(rng.normal(size=(1, 2, 2, d)).astype(np.float32))
-        # validate param structure against a fresh init
-        ref_params = model.init(jax.random.PRNGKey(0), s, c)
+        # validate param structure against a fresh init covering all three
+        # pos_modes (each encoder layer carries BOTH fused projections)
+        import flax.linen as fnn
+
+        def all_modes(mdl, s_, c_):
+            for m in ("ics", "icc", "iss"):
+                mdl(s_, c_, True, m)
+
+        ref_params = fnn.init(all_modes, model)(jax.random.PRNGKey(0), s, c)
         ref_flat = jax.tree.structure(ref_params)
         got_flat = jax.tree.structure(params)
         assert ref_flat == got_flat, f"{ref_flat}\n!=\n{got_flat}"
@@ -272,3 +279,102 @@ class TestReferenceCheckpointLoaders:
         lat = load_reference_latent_checkpoint(p)
         assert lat["latents"].shape == (1, 20, 32)
         assert lat["mu"].shape == (1, 32)
+
+
+class TestFullTransformerNumericEquivalence:
+    """The converted flax StyleTransformer must match the ACTUAL reference
+    torch ``Transformer`` numerically — including the fused-qkv
+    value-replaces-residual quirk in the style encoder
+    (/root/reference/transformer.py:172-177) and the decoder's double
+    cross-attention (:245-257)."""
+
+    def _build_ref(self, d=64, heads=4, layers=3, ff=128):
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        import transformer as ref_transformer
+
+        t = ref_transformer.Transformer(
+            d_model=d, nhead=heads, num_encoder_layers=layers,
+            num_decoder_layers=layers, dim_feedforward=ff, dropout=0.0,
+        )
+        t.eval()
+        return t
+
+    def test_full_style_content_path_matches(self):
+        """Full style+content → tokens path at 3+3 layers, rtol 1e-4
+        (/root/reference/transformer.py:46-75; called with pos_c=content,
+        pos_s=None per /root/reference/tctrans.py:204-208)."""
+        from tgtc.models.transformer import (
+            StyleTransformer, TransformerConfig,
+        )
+
+        d, heads, layers, ff = 64, 4, 3, 128
+        tref = self._build_ref(d, heads, layers, ff)
+        params = convert_torch_transformer(
+            tref.state_dict(), num_encoder_layers=layers,
+            num_decoder_layers=layers,
+        )
+
+        rng = np.random.default_rng(0)
+        b, h, w = 2, 4, 4
+        style = rng.normal(size=(b, d, h, w)).astype(np.float32)
+        content = rng.normal(size=(b, d, h, w)).astype(np.float32)
+
+        with torch.no_grad():
+            ts, tc = torch.from_numpy(style), torch.from_numpy(content)
+            hs_ref = tref(ts, None, tc, tc, None)  # pos_c=content, pos_s=None
+
+        cfg = TransformerConfig(d_model=d, nhead=heads,
+                                num_encoder_layers=layers,
+                                num_decoder_layers=layers,
+                                dim_feedforward=ff, dropout=0.0)
+        model = StyleTransformer(cfg)
+        out = model.apply(
+            params,
+            jnp.asarray(style.transpose(0, 2, 3, 1)),
+            jnp.asarray(content.transpose(0, 2, 3, 1)),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), hs_ref.numpy().transpose(0, 2, 3, 1),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_identity_paths_match(self):
+        """The Icc/Iss identity invocations use different pos patterns —
+        Icc passes pos on BOTH encoders, Iss none anywhere
+        (/root/reference/tctrans.py:219-220). pos_mode must reproduce each."""
+        from tgtc.models.transformer import (
+            StyleTransformer, TransformerConfig,
+        )
+
+        d, heads, layers, ff = 32, 2, 2, 64
+        tref = self._build_ref(d, heads, layers, ff)
+        params = convert_torch_transformer(
+            tref.state_dict(), num_encoder_layers=layers,
+            num_decoder_layers=layers,
+        )
+        cfg = TransformerConfig(d_model=d, nhead=heads,
+                                num_encoder_layers=layers,
+                                num_decoder_layers=layers,
+                                dim_feedforward=ff, dropout=0.0)
+        model = StyleTransformer(cfg)
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(1, d, 2, 2)).astype(np.float32)
+        tx = torch.from_numpy(x)
+        xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+
+        with torch.no_grad():
+            icc_ref = tref(tx, None, tx, tx, tx)    # pos_c = pos_s = tokens
+            iss_ref = tref(tx, None, tx, None, None)  # no pos anywhere
+
+        icc = model.apply(params, xj, xj, True, "icc")
+        iss = model.apply(params, xj, xj, True, "iss")
+        np.testing.assert_allclose(
+            np.asarray(icc), icc_ref.numpy().transpose(0, 2, 3, 1),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(iss), iss_ref.numpy().transpose(0, 2, 3, 1),
+            rtol=1e-4, atol=1e-4,
+        )

@@ -46,10 +46,12 @@ class StyTrans(nn.Module):
         self.transformer = StyleTransformer(self.cfg)
         self.decode = Decoder()
 
-    def _transform(self, content, style, deterministic=True):
+    def _transform(self, content, style, deterministic=True,
+                   pos_mode="ics"):
         s_tok = self.embedding(style)
         c_tok = self.embedding(content)
-        hs = self.transformer(s_tok, c_tok, deterministic=deterministic)
+        hs = self.transformer(s_tok, c_tok, deterministic=deterministic,
+                              pos_mode=pos_mode)
         return self.decode(hs), hs
 
     def __call__(self, content, style, deterministic: bool = True):
@@ -84,8 +86,14 @@ class StyTrans(nn.Module):
             tm, tstd = calc_mean_std(jax.lax.stop_gradient(style_feats[i]))
             loss_s = loss_s + mse(im, tm) + mse(istd, tstd)
 
-        icc, _ = self._transform(content, content, deterministic)
-        iss, _ = self._transform(style, style, deterministic)
+        # identity calls use DIFFERENT pos patterns than the main call:
+        # Icc = transformer(content, mask, content, pos_c, pos_c) and
+        # Iss = transformer(style, mask, style, None, None)
+        # (/root/reference/tctrans.py:219-220)
+        icc, _ = self._transform(content, content, deterministic,
+                                 pos_mode="icc")
+        iss, _ = self._transform(style, style, deterministic,
+                                 pos_mode="iss")
         l_id1 = mse(icc, content) + mse(iss, style)
 
         icc_feats = self.vgg(icc)

@@ -163,15 +163,39 @@ class StyleTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, style: jnp.ndarray, content: jnp.ndarray,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True,
+                 pos_mode: str = "ics") -> jnp.ndarray:
+        """``pos_mode`` selects the reference's positional-embedding pattern
+        (/root/reference/tctrans.py:204-220):
+
+        * ``"ics"`` — the main stylize call ``transformer(style, mask,
+          content, pos_c=content, pos_s=None)``: style encoder takes the
+          fused-qkv branch, content encoder the qk branch, decoder
+          query_pos = content tokens.
+        * ``"icc"`` — identity call with pos on BOTH encoders
+          (``pos_s = pos_c = content``); decoder pos AND query_pos set.
+        * ``"iss"`` — identity call with NO pos anywhere: both encoders
+          take the fused-qkv branch, decoder gets no pos.
+
+        In the encoder ``pos`` only selects the projection branch — the
+        reference never adds it there (/root/reference/transformer.py:
+        172-177); the decoder genuinely adds it (:245-257).
+        """
         cfg = self.cfg
         b, hs, ws, c = style.shape
         s = style.reshape(b, hs * ws, c)
         ct = content.reshape(b, -1, c)
-        pos_c = ct  # content-aware positional embedding = content itself
+        if pos_mode == "ics":
+            pos_s, pos_c = None, ct
+        elif pos_mode == "icc":
+            pos_s, pos_c = s, ct
+        elif pos_mode == "iss":
+            pos_s, pos_c = None, None
+        else:
+            raise ValueError(f"unknown pos_mode {pos_mode!r}")
 
         for i in range(cfg.num_encoder_layers):
-            s = EncoderLayer(cfg, name=f"enc_s_{i}")(s, pos=None,
+            s = EncoderLayer(cfg, name=f"enc_s_{i}")(s, pos=pos_s,
                                                      deterministic=deterministic)
         for i in range(cfg.num_encoder_layers):
             ct = EncoderLayer(cfg, name=f"enc_c_{i}")(ct, pos=pos_c,
@@ -179,7 +203,8 @@ class StyleTransformer(nn.Module):
         out = ct
         for i in range(cfg.num_decoder_layers):
             out = DecoderLayer(cfg, name=f"dec_{i}")(
-                out, s, pos=None, query_pos=pos_c, deterministic=deterministic
+                out, s, pos=pos_s, query_pos=pos_c,
+                deterministic=deterministic,
             )
         out = nn.LayerNorm(name="dec_norm")(out)
         return out.reshape(b, hs, ws, c)
