@@ -102,7 +102,8 @@ def main():
 
     # sort vs merge
     _, ts = jax.jit(lambda o, d: sample_along_rays_uniform(o, d, NC))(ro, rd)
-    w = jax.random.uniform(key, (B, NC))
+    # weights [R, B-1] for bins [R, B], as the real path slices them
+    w = jax.random.uniform(key, (B, NC))[..., 1:-1]
     ts_mid = 0.5 * (ts[..., 1:] + ts[..., :-1])
     t_new = jax.jit(lambda a, b: sample_pdf(a, b, NFINE))(ts_mid, w)
     t_sort = timeit(jax.jit(

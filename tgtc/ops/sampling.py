@@ -79,6 +79,11 @@ def sample_pdf(
     reference's Phase-A hot loop always uses ``det=True``
     (/root/reference/utils.py:575).
     """
+    if bins.shape[-1] != weights.shape[-1] + 1:
+        raise ValueError(
+            f"bins [R, B] needs weights [R, B-1]; got {bins.shape} / "
+            f"{weights.shape}"
+        )
     weights = weights + 1e-5
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)
@@ -91,15 +96,28 @@ def sample_pdf(
     else:
         u = jax.random.uniform(key, (r, n_samples), dtype=bins.dtype)
 
-    # searchsorted 'right' per ray; vectorized over the ray axis.
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    # searchsorted 'right' per ray, TPU-first: a vmapped binary search
+    # lowers to a serial while-loop with dynamic gathers (measured ~88 ms
+    # for [16k, 64] on v5e — the whole render's dominant cost). The CDF is
+    # sorted and short (B ≈ 64), so count comparisons instead (branchless,
+    # one fused VPU reduce) and replace the row-gathers with one-hot
+    # matmuls that ride the MXU. Numerically identical: the comparison
+    # count IS the right-insertion index for a sorted array.
+    b = cdf.shape[-1]
+    inds = jnp.sum(
+        (cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
+    )  # [R, N]
+    below = jnp.clip(inds - 1, 0, b - 1)
+    above = jnp.clip(inds, 0, b - 1)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    iota = jnp.arange(b, dtype=jnp.int32)
+    oh_below = (below[..., None] == iota).astype(bins.dtype)  # [R, N, B]
+    oh_above = (above[..., None] == iota).astype(bins.dtype)
+    table = jnp.stack([cdf, bins], axis=-1)                   # [R, B, 2]
+    gb = jnp.einsum("rnb,rbk->rnk", oh_below, table)
+    ga = jnp.einsum("rnb,rbk->rnk", oh_above, table)
+    cdf_below, bins_below = gb[..., 0], gb[..., 1]
+    cdf_above, bins_above = ga[..., 0], ga[..., 1]
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
