@@ -86,14 +86,25 @@ def load_style_scene(
                   allow_pickle=True)
     style_features = np.asarray(npz["style_features"], np.float32)
     s = style_features.shape[0]
+    # per-style frame dirs come from the npz's style_paths (the field the
+    # reference reader indexes, /root/reference/dataset.py:467-482); fall
+    # back to the flat layout for foreign/reference-produced npz files
+    # whose recorded paths don't exist on this machine
+    style_dirs = [str(p) for p in npz["style_paths"]] if "style_paths" in npz \
+        else [stylized_dir] * s
+    style_dirs = [d if os.path.isdir(d) else stylized_dir
+                  for d in style_dirs]
+    if len(style_dirs) < s:
+        style_dirs = style_dirs + [stylized_dir] * (s - len(style_dirs))
     stylized = np.zeros((s, f, h, w, 3), np.float32)
-    for j in range(f):
-        # frame files are 1-indexed (reference /root/reference/dataset.py:482)
-        img = np.asarray(
-            Image.open(os.path.join(stylized_dir, f"{j + 1:03d}.jpg"))
-            .convert("RGB"), np.float32,
-        ) / 255.0
-        stylized[:, j] = img[None]
+    for si in range(s):
+        for j in range(f):
+            # frame files are 1-indexed (/root/reference/dataset.py:482)
+            img = np.asarray(
+                Image.open(os.path.join(style_dirs[si], f"{j + 1:03d}.jpg"))
+                .convert("RGB"), np.float32,
+            ) / 255.0
+            stylized[si, j] = img
 
     ro, rd = rays_for_poses(
         h, w, jnp.asarray(scene.intrinsics), jnp.asarray(scene.poses),

@@ -30,19 +30,15 @@ def _pad_to_multiple(img: jnp.ndarray, m: int = 8) -> jnp.ndarray:
     return img
 
 
-def stylize_directory(
+def _stylize_one_style(
     model: StyTrans,
     params,
     content_dir: str,
     style_image: np.ndarray,      # [H, W, 3] float32 in [0,1]
-    style_name: str,
     out_dir: str,
-    batch: int = 1,
-) -> Dict[str, np.ndarray]:
-    """Stylize all ``rgb_*.png`` frames in ``content_dir`` → ``out_dir``.
-
-    Returns the accumulated style feature (and writes
-    ``stylized_data.npz``)."""
+) -> np.ndarray:
+    """Stylize all ``rgb_*.png`` frames in ``content_dir`` → ``out_dir``
+    (1-indexed ``NNN.jpg``); returns the per-style 1024-d feature."""
     from pathlib import Path
 
     from PIL import Image
@@ -78,12 +74,62 @@ def stylize_directory(
         )
         feats.append(np.asarray(style_feature_from_tokens(hs))[0])
 
-    style_feature = np.mean(np.stack(feats, 0), axis=0, keepdims=True)  # [1,1024]
+    return np.mean(np.stack(feats, 0), axis=0)  # [1024]
+
+
+def stylize_directory(
+    model: StyTrans,
+    params,
+    content_dir: str,
+    style_image: np.ndarray,
+    style_name: str,
+    out_dir: str,
+    batch: int = 1,
+) -> Dict[str, np.ndarray]:
+    """Single-style convenience wrapper (see :func:`stylize_all`)."""
+    return stylize_all(model, params, content_dir, [style_image],
+                       [style_name], out_dir)
+
+
+def stylize_all(
+    model: StyTrans,
+    params,
+    content_dir: str,
+    style_images: List[np.ndarray],
+    style_names: List[str],
+    out_dir: str,
+) -> Dict[str, np.ndarray]:
+    """Phase C3 over ALL style images (the reference only ever emits one
+    style — /root/reference/trans_test.py:141-144 — but its Phase-E dataset
+    carries a full [S, F] style axis; this populates it).
+
+    Layout: S==1 keeps the reference's flat ``NNN.jpg`` layout; S>1 writes
+    per-style subdirs ``style_{s:02d}/NNN.jpg`` recorded in the npz's
+    ``style_paths`` (the field the reference reader indexes,
+    /root/reference/dataset.py:467-482).
+    """
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    feats, dirs = [], []
+    s_count = len(style_images)
+    for s, img in enumerate(style_images):
+        sub = out_dir if s_count == 1 else os.path.join(
+            out_dir, f"style_{s:02d}")
+        feats.append(_stylize_one_style(model, params, content_dir, img, sub))
+        dirs.append(sub)
+    style_feature = np.stack(feats, 0).astype(np.float32)  # [S, 1024]
+    thumbs = np.stack([
+        np.asarray(
+            Image.fromarray((np.clip(im, 0, 1) * 255).astype(np.uint8))
+            .resize((256, 256), Image.BILINEAR), np.float32) / 255.0
+        for im in style_images
+    ], 0)
     np.savez(
         os.path.join(out_dir, "stylized_data.npz"),
-        style_names={style_name: 0},
-        style_paths=np.array([out_dir]),
-        style_images=np.asarray(style_image)[None],
-        style_features=style_feature.astype(np.float32),
+        style_names={n: i for i, n in enumerate(style_names)},
+        style_paths=np.array(dirs),
+        style_images=thumbs,
+        style_features=style_feature,
     )
     return {"style_features": style_feature}
