@@ -160,12 +160,19 @@ def _imread(path: str) -> np.ndarray:
 
 
 def minify(basedir: str, factor: int) -> str:
-    """Create ``images_{factor}/`` by in-process PIL resize (replaces the
-    reference's ImageMagick subprocess, /root/reference/load_llff.py:6-55).
+    """Create ``images_{factor}/`` by in-process resize (replaces the
+    reference's ImageMagick subprocess, /root/reference/load_llff.py:6-55;
+    the reference also converts everything to png and removes the originals
+    — ``mogrify -format png``, :46-52 — so png output is parity).
 
-    Idempotent: returns immediately if the target directory exists.
+    Exactly-divisible images go through the native C++ box filter + PNG
+    writer (tgtc.utils.native) — mogrify's default scale filter is also an
+    area average for integer downsampling; anything else falls back to PIL
+    LANCZOS. Idempotent: returns immediately if the target exists.
     """
     from PIL import Image
+
+    from tgtc.utils import native
 
     imgdir = os.path.join(basedir, f"images_{factor}")
     if os.path.exists(imgdir):
@@ -174,15 +181,24 @@ def minify(basedir: str, factor: int) -> str:
     files = _list_images(srcdir)
     os.makedirs(imgdir, exist_ok=True)
     for f in files:
+        out = os.path.join(
+            imgdir, os.path.splitext(os.path.basename(f))[0] + ".png"
+        )
         with Image.open(f) as im:
             w, h = im.size
+            if h % factor == 0 and w % factor == 0:
+                arr = np.asarray(im.convert("RGB"), np.uint8)
+                native.write_png_async(
+                    out, native.resize_box(arr, factor)
+                )
+                continue
             im = im.convert("RGB").resize(
                 (round(w / factor), round(h / factor)), Image.LANCZOS
             )
-            out = os.path.join(
-                imgdir, os.path.splitext(os.path.basename(f))[0] + ".png"
-            )
             im.save(out)
+    errs = native.wait_writes()
+    if errs:
+        raise IOError(f"{errs} async png writes failed in {imgdir}")
     return imgdir
 
 

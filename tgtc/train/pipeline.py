@@ -58,18 +58,6 @@ def _load_image(path: str, size=None) -> np.ndarray:
     return np.asarray(img, np.float32) / 255.0
 
 
-def _random_crop_batch(rng, paths, batch, patch=256, resize=512):
-    """Reference train_transform: resize (512,512) + RandomCrop(256)
-    (/root/reference/trans_train.py:20-26)."""
-    out = np.zeros((batch, patch, patch, 3), np.float32)
-    for i in range(batch):
-        img = _load_image(paths[rng.integers(len(paths))], (resize, resize))
-        y = rng.integers(0, resize - patch + 1)
-        x = rng.integers(0, resize - patch + 1)
-        out[i] = img[y : y + patch, x : x + patch]
-    return out
-
-
 class Pipeline:
     def __init__(self, cfg: Config):
         self.cfg = cfg
@@ -313,19 +301,29 @@ class Pipeline:
             tstate = self.trans_ckpt.restore(tstate)
         tstate = jax.device_put(tstate, replicated_sharding(self.mesh))
         if int(tstate.step) < tcfg.max_iter:
+            from tgtc.data.prefetch import CropBatchPrefetcher
+
             step_fn = make_transformer_train_step(model, tcfg, mesh=self.mesh)
             key = jax.random.PRNGKey(cfg.seed + 3)
-            while int(tstate.step) < tcfg.max_iter:
-                content = jnp.asarray(_random_crop_batch(
-                    rng, content_paths, tcfg.batch_size, tcfg.patch))
-                style = jnp.asarray(_random_crop_batch(
-                    rng, style_paths, tcfg.batch_size, tcfg.patch))
-                tstate, m = step_fn(tstate, content, style, key)
-                step = int(tstate.step)
-                if step % 100 == 0:
-                    self.log.log(step, m, prefix="TRANS TRAIN")
-                if step % 1000 == 0 or step >= tcfg.max_iter:
-                    self.trans_ckpt.save(step, jax.device_get(tstate))
+            # overlapped host decode (the reference's DataLoader workers,
+            # /root/reference/trans_train.py:134-141)
+            workers = cfg.num_workers or 4  # reference --num_workers
+            with CropBatchPrefetcher(
+                content_paths, tcfg.batch_size, tcfg.patch, seed=cfg.seed,
+                workers=workers,
+            ) as content_pf, CropBatchPrefetcher(
+                style_paths, tcfg.batch_size, tcfg.patch, seed=cfg.seed + 1,
+                workers=workers,
+            ) as style_pf:
+                while int(tstate.step) < tcfg.max_iter:
+                    content = jnp.asarray(content_pf.next())
+                    style = jnp.asarray(style_pf.next())
+                    tstate, m = step_fn(tstate, content, style, key)
+                    step = int(tstate.step)
+                    if step % 100 == 0:
+                        self.log.log(step, m, prefix="TRANS TRAIN")
+                    if step % 1000 == 0 or step >= tcfg.max_iter:
+                        self.trans_ckpt.save(step, jax.device_get(tstate))
 
         # ---- C2 (decoder finetune with temporal loss)
         h, w, focal = self.scene.hwf
@@ -446,7 +444,6 @@ class Pipeline:
                 "params": _filter_to(vgg_params["params"], vgg_overlay)
             }
         style_paths = _list_images(cfg.styledir)
-        rng = np.random.default_rng(cfg.seed)
         step_fn = make_vae_train_step(model, tcfg)
 
         def _fit_dim(x):
@@ -462,14 +459,18 @@ class Pipeline:
         )
         key = jax.random.PRNGKey(cfg.seed + 6)
         patch = self.vae_patch
-        for i in range(tcfg.max_iter):
-            imgs = jnp.asarray(_random_crop_batch(
-                rng, style_paths, tcfg.batch_size, patch,
-                resize=max(2 * patch, patch)))
-            x = feat_fn(imgs)
-            vstate, m = step_fn(vstate, x, key)
-            if (i + 1) % 500 == 0:
-                self.log.log(i + 1, m, prefix="VAE")
+        from tgtc.data.prefetch import CropBatchPrefetcher
+
+        with CropBatchPrefetcher(
+            style_paths, tcfg.batch_size, patch,
+            resize=max(2 * patch, patch), seed=cfg.seed + 2,
+            workers=cfg.num_workers or 4,
+        ) as pf:
+            for i in range(tcfg.max_iter):
+                x = feat_fn(jnp.asarray(pf.next()))
+                vstate, m = step_fn(vstate, x, key)
+                if (i + 1) % 500 == 0:
+                    self.log.log(i + 1, m, prefix="VAE")
         self.vae_ckpt.save(int(vstate.step), jax.device_get(vstate))
         return model, vstate
 
@@ -595,6 +596,7 @@ class Pipeline:
                 cfg.N_samples, cfg.N_samples_fine, self.near, self.far,
                 sigma_scale=cfg.sigma_scale,
                 llff_tile=cfg.dataset_type == "llff",
+                mesh=self.mesh,
             )
             render_stylized_views(
                 render_fn, nstate.params_coarse, nstate.params_fine,
@@ -603,7 +605,20 @@ class Pipeline:
                 latent_state, ro, rd, range(data.style_num), out_dir,
                 jax.random.PRNGKey(cfg.seed + 10),
             )
+        self._write_turntable(out_dir)
         return out_dir
+
+    def _write_turntable(self, out_dir: str) -> None:
+        """Assemble Phase-F frames into a turntable video (the working
+        version of the reference's commented-out imageio.mimwrite,
+        /root/reference/rendering.py:224-239)."""
+        from tgtc.utils.video import write_video
+
+        try:
+            path = write_video(out_dir)
+            print(f"[video] wrote {path}", flush=True)
+        except Exception as e:  # video is a convenience artifact
+            print(f"[video] skipped: {e}", flush=True)
 
     def _render_stylized_fused(self, nstate, sstate, latent_state, data,
                                ro, rd, out_dir) -> None:

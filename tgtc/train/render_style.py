@@ -35,16 +35,26 @@ def make_stylized_render_fn(
     far: float,
     sigma_scale: float = 1.0,
     llff_tile: bool = True,
+    mesh=None,
 ):
     """Jitted block renderer: ``(nerf_params_c, nerf_params_f, style_params
     {"concat","style"}, latent_state, rays_o [B,3], rays_d [B,3], style_id,
     frame_id, key) → {"rgb", "t_exp", "rgb_coarse"}`` (fine outputs).
+
+    ``mesh`` shards the ray axis across the device mesh (XLA inserts the
+    gather of output rows — the multi-chip Phase-F path).
 
     The reference renders with ``perturb=True`` and zero sigma noise
     (/root/reference/rendering.py:119,145)."""
 
     def render(npc, npf, style_params, latent_state, rays_o, rays_d,
                style_id, frame_id, key):
+        if mesh is not None:
+            from tgtc.parallel.mesh import data_sharding
+
+            shard = data_sharding(mesh, 2)
+            rays_o = jax.lax.with_sharding_constraint(rays_o, shard)
+            rays_d = jax.lax.with_sharding_constraint(rays_d, shard)
         b = rays_o.shape[0]
         sid = jnp.full((b,), style_id, jnp.int32)
         fid = jnp.full((b,), frame_id, jnp.int32)
