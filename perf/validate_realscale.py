@@ -1,0 +1,136 @@
+"""Realistic-scale Phase-A validation on TPU.
+
+The reference's workload is LLFF fern @ factor 4 → 756×1008
+(/root/reference/load_llff.py:277, configs/fern.txt). No internet egress
+exists here, so this synthesizes a *geometrically real* stand-in at the
+same resolution: three textured, partially-cut-out planes at different
+depths viewed by forward-facing cameras (true parallax + occlusion — the
+structure a NeRF must actually learn), written in LLFF on-disk format.
+Then it trains the full-size trunk (D=8, W=256, viewdirs) through the real
+Pipeline for --steps steps and reports holdout-view PSNR.
+
+    python perf/validate_realscale.py [--steps 3000] [--height 378]
+
+Appends the result to BASELINE.md by hand — this script just prints JSON.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _texture(key: int, h: int, w: int) -> np.ndarray:
+    """Smooth procedural RGB texture (low-frequency → NeRF-learnable)."""
+    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w),
+                         indexing="ij")
+    r = 0.5 + 0.5 * np.sin(2 * np.pi * (2 * xx + key * 0.7))
+    g = 0.5 + 0.5 * np.sin(2 * np.pi * (1.5 * yy + key * 1.3))
+    b = 0.5 + 0.5 * np.sin(2 * np.pi * (xx + yy + key * 0.4))
+    return np.stack([r, g, b], -1).astype(np.float32)
+
+
+def _render_planes(c2w, h, w, focal, planes):
+    """Analytic render: axis-aligned z=const textured planes with circular
+    holes, front-to-back. Cameras look down -z (LLFF convention)."""
+    j, i = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    dirs = np.stack(
+        [(i - w * 0.5) / focal, -(j - h * 0.5) / focal, -np.ones_like(i)], -1
+    )
+    rd = dirs @ c2w[:3, :3].T
+    ro = np.broadcast_to(c2w[:3, 3], rd.shape)
+    out = np.zeros((h, w, 3), np.float32)
+    done = np.zeros((h, w), bool)
+    for z, tex, holes in planes:
+        t = (z - ro[..., 2]) / rd[..., 2]
+        x = ro[..., 0] + t * rd[..., 0]
+        y = ro[..., 1] + t * rd[..., 1]
+        u = np.clip((x + 2.0) / 4.0, 0, 0.999)
+        v = np.clip((y + 2.0) / 4.0, 0, 0.999)
+        th, tw = tex.shape[:2]
+        col = tex[(v * th).astype(int), (u * tw).astype(int)]
+        hit = (t > 0) & ~done
+        for hx, hy, hr in holes:
+            hit &= ((x - hx) ** 2 + (y - hy) ** 2) > hr ** 2
+        out[hit] = col[hit]
+        done |= hit
+    return out
+
+
+def make_scene(root: str, h: int, w: int, n: int = 12,
+               focal_ratio: float = 0.9) -> None:
+    from PIL import Image
+
+    imgdir = os.path.join(root, "images")
+    os.makedirs(imgdir, exist_ok=True)
+    focal = focal_ratio * w
+    planes = [
+        (-4.0, _texture(1, 512, 512), [(0.3, 0.2, 0.45), (-0.8, -0.5, 0.3)]),
+        (-5.5, _texture(2, 512, 512), [(-0.2, 0.4, 0.5)]),
+        (-7.0, _texture(3, 512, 512), []),
+    ]
+    poses = []
+    for k in range(n):
+        c2w = np.eye(4)[:3].copy()
+        ang = 2 * np.pi * k / n
+        c2w[:, 3] = [0.25 * np.cos(ang), 0.18 * np.sin(ang), 0.0]
+        img = _render_planes(c2w, h, w, focal, planes)
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            os.path.join(imgdir, f"img_{k:03d}.png"))
+        hwf = np.array([[h], [w], [focal]], np.float64)
+        poses.append(np.concatenate([c2w, hwf], 1))
+    poses = np.stack(poses)
+    poses_disk = np.concatenate(
+        [-poses[:, :, 1:2], poses[:, :, 0:1], poses[:, :, 2:]], axis=2)
+    bds = np.stack([np.full(n, 3.0), np.full(n, 9.0)], 1)
+    np.save(os.path.join(root, "poses_bounds.npy"),
+            np.concatenate([poses_disk.reshape(n, 15), bds], 1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--height", type=int, default=756)
+    ap.add_argument("--width", type=int, default=1008)
+    ap.add_argument("--workdir", default="/tmp/tgtc_realscale")
+    args = ap.parse_args()
+
+    root = os.path.join(args.workdir, "scene")
+    if not os.path.exists(os.path.join(root, "poses_bounds.npy")):
+        make_scene(root, args.height, args.width)
+
+    from tgtc.config import Config
+    from tgtc.train.pipeline import Pipeline
+
+    cfg = Config(
+        expname="realscale", basedir=os.path.join(args.workdir, "logs"),
+        datadir=root, styledir=root, factor=1.0,
+        use_viewdir=True, netdepth=8, netwidth=256,
+        netdepth_fine=8, netwidth_fine=256,
+        N_samples=64, N_samples_fine=64, batch_size=2048,
+        origin_step=args.steps, i_print=200, lrate_decay=250000,
+        use_pallas=True,
+    )
+    pipe = Pipeline(cfg)
+    t0 = time.perf_counter()
+    pipe.train_nerf()
+    dt = time.perf_counter() - t0
+    psnr = pipe.evaluate()
+    print(json.dumps({
+        "metric": "realscale_phaseA",
+        "resolution": f"{args.height}x{args.width}",
+        "steps": args.steps,
+        "train_seconds": round(dt, 1),
+        "steps_per_sec": round(args.steps / max(dt, 1e-9), 2),
+        "holdout_psnr_db": round(psnr, 2),
+    }))
+    pipe.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -75,3 +75,69 @@ class TestNearbyCameras:
             dists.append(np.mean(np.abs(cps[ids[1:], 0, 3]
                                         - cps[ids[0], 0, 3])))
         assert np.mean(dists) < 120
+
+
+class TestGrabBagIO:
+    def test_obj_roundtrip_text(self, tmp_path):
+        from tgtc.utils.io3d import write_obj
+
+        v = np.array([[0.0, 1.0, 2.0], [3.0, 4.0, 5.0], [6.0, 7.0, 8.0]])
+        f = np.array([[1, 2, 3]])
+        p = tmp_path / "m.obj"
+        write_obj(str(p), v, f)
+        lines = p.read_text().splitlines()
+        assert lines[0].startswith("v 0.0") and lines[-1] == "f 1 2 3"
+
+    def test_ply_xyz(self, tmp_path):
+        from tgtc.utils.io3d import write_ply_xyz
+
+        p = tmp_path / "pc.ply"
+        write_ply_xyz(str(p), np.zeros((4, 3)))
+        txt = p.read_text()
+        assert "element vertex 4" in txt and txt.count("0.0 0.0 0.0") == 4
+
+    def test_rgbd_json_roundtrip(self, tmp_path):
+        from PIL import Image
+
+        from tgtc.utils.io3d import json_read_rgbd, json_save_depth, read_rgbd
+
+        depth = np.linspace(0, 5, 12, dtype=np.float32).reshape(3, 4)
+        dpath = tmp_path / "d.json"
+        json_save_depth(str(dpath), depth)
+        rgb = (np.random.default_rng(0).uniform(size=(3, 4, 3)) * 255
+               ).astype(np.uint8)
+        rpath = tmp_path / "rgb.png"
+        Image.fromarray(rgb).save(rpath)
+        d2, r2 = json_read_rgbd(str(dpath), str(rpath))
+        np.testing.assert_allclose(d2, depth, atol=1e-5)
+        assert r2.shape == (3, 4, 3)
+        d3, r3 = read_rgbd(str(rpath), str(rpath))  # any image as depth
+        assert d3.shape[:2] == r3.shape[:2]
+
+    def test_camera_json_roundtrip(self, tmp_path):
+        import json
+
+        from tgtc.utils.io3d import (
+            json_read_camera_parameters,
+            json_save_camera_parameters,
+            read_frame_pose,
+        )
+
+        cp = np.arange(16, dtype=np.float64).reshape(4, 4)
+        intr = np.arange(9, dtype=np.float64).reshape(3, 3)
+        p = tmp_path / "cam.json"
+        json_save_camera_parameters(str(p), cp, intr)
+        cp2, intr2 = json_read_camera_parameters(str(p))
+        np.testing.assert_array_equal(cp, cp2)
+        np.testing.assert_array_equal(intr, intr2)
+
+        fp = tmp_path / "frame_00000.json"
+        fp.write_text(json.dumps({
+            "projectionMatrix": list(range(16)),
+            "intrinsics": list(range(9)),
+            "cameraPoseARFrame": list(range(16)),
+            "time": 1.5, "frame_index": 7,
+        }))
+        proj, k, pose, t, idx = read_frame_pose(str(fp))
+        assert proj.shape == (4, 4) and k.shape == (3, 3)
+        assert t == 1.5 and idx == 7

@@ -46,7 +46,11 @@ class NerfTrainConfig:
     #                         --steps_per_opt, /root/reference/config.py:111,
     #                         declared but never wired there — functional here)
     feature_major: bool = False  # [features, points] trunk layout (see
-    #                              RenderSettings.feature_major)
+    #   RenderSettings.feature_major). MEASURED on TPU v5e (perf/
+    #   bench_train.py, 2026-08-16): point-major 42.6 steps/s vs
+    #   feature-major 27.8 — the feature-major win is inference-only
+    #   (fused kernel); under grad the layout transposes dominate, so
+    #   False is the deliberate training default.
 
     def render_settings(self, perturb: bool) -> RenderSettings:
         return RenderSettings(

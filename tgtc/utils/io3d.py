@@ -83,3 +83,118 @@ def dep2pcl(depth: np.ndarray, intrinsics: np.ndarray, c2w: np.ndarray,
     cam = np.stack([x, y, z, np.ones_like(z)], axis=-1).reshape(-1, 4)
     world = cam @ np.asarray(c2w[:3, :4], np.float32).T
     return world
+
+
+def write_obj(path: str, v: np.ndarray, f: Optional[np.ndarray] = None
+              ) -> None:
+    """ASCII OBJ writer (vertices, optional 1-indexed faces) — parity with
+    /root/reference/utils.py:51-63."""
+    with open(path, "w") as fh:
+        for vv in np.asarray(v):
+            fh.write(f"v {vv[0]} {vv[1]} {vv[2]}\n")
+        if f is not None:
+            for ff in np.asarray(f):
+                fh.write(f"f {int(ff[0])} {int(ff[1])} {int(ff[2])}\n")
+
+
+def write_ply_xyz(path: str, v: np.ndarray) -> None:
+    """ASCII xyz-only PLY (reference ``write_ply``,
+    /root/reference/utils.py:180-185)."""
+    v = np.asarray(v)
+    header = (
+        "ply\nformat ascii 1.0\n"
+        f"element vertex {len(v)}\n"
+        "property double x\nproperty double y\nproperty double z\n"
+        "end_header\n"
+    )
+    with open(path, "w") as fh:
+        fh.write(header)
+        for vv in v:
+            fh.write(f"{vv[0]} {vv[1]} {vv[2]}\n")
+
+
+# --------------------------------------------------------------- RGBD json
+# (the reference's RGBD-scan residue, /root/reference/utils.py:23-49;
+# cv2.resize replaced by PIL 'F'-mode bilinear)
+
+
+def json_read_rgbd(depth_json_path: str, rgb_path: str, factor: float = 1.0
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    import json
+
+    from PIL import Image
+
+    with open(depth_json_path) as fh:
+        depth = np.asarray(json.load(fh), np.float32)
+    rgb = Image.open(rgb_path).convert("RGB")
+    w, h = rgb.size
+    rgb = rgb.resize((int(w / factor), int(h / factor)))
+    d_im = Image.fromarray(depth, mode="F").resize(rgb.size, Image.BILINEAR)
+    return np.asarray(d_im, np.float32), np.asarray(rgb, np.float32)
+
+
+def read_rgbd(depth_img_path: str, rgb_path: str
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    from PIL import Image
+
+    depth = np.asarray(Image.open(depth_img_path), np.float32)
+    rgb = Image.open(rgb_path).convert("RGB").resize(
+        (depth.shape[1], depth.shape[0]))
+    return depth, np.asarray(rgb, np.float32)
+
+
+def json_save_depth(path: str, depth: np.ndarray) -> None:
+    import json
+
+    rows = [np.asarray(r).reshape(-1).tolist() for r in depth]
+    with open(path, "w") as fh:
+        json.dump(rows, fh)
+
+
+# ------------------------------------------------------- ARKit camera json
+# (/root/reference/utils.py:85-178)
+
+
+def read_frame_pose(path: str):
+    """ARKit ``frame_*.json`` → (projectionMatrix 4x4, intrinsic 3x3,
+    cameraPose 4x4, time, index)."""
+    import json
+
+    with open(path) as fh:
+        data = json.load(fh)
+    return (
+        np.reshape(data["projectionMatrix"], (4, 4)),
+        np.reshape(data["intrinsics"], (3, 3)),
+        np.reshape(data["cameraPoseARFrame"], (4, 4)),
+        float(data["time"]),
+        int(data["frame_index"]),
+    )
+
+
+def json_read_camera_parameters(path: str):
+    """Camera-parameter json → (cameraTransform 4x4, cameraIntrinsics 3x3)
+    (the only populated fields the reference reads/writes,
+    /root/reference/utils.py:163-178)."""
+    import json
+
+    with open(path) as fh:
+        data = json.load(fh)
+    return (
+        np.reshape(data["cameraTransform"], (4, 4)),
+        np.reshape(data["cameraIntrinsics"], (3, 3)),
+    )
+
+
+def json_save_camera_parameters(path: str, cp: np.ndarray,
+                                intr: np.ndarray) -> None:
+    import json
+
+    save = {
+        "timeStamp": [], "cameraEulerAngle": [], "imageResolution": [],
+        "cameraTransform": np.reshape(cp, -1).tolist(),
+        "cameraPos": [],
+        "cameraIntrinsics": np.reshape(intr, -1).tolist(),
+        "cameraView": [], "cameraProjection": [],
+    }
+    with open(path, "w") as fh:
+        json.dump(save, fh)
