@@ -69,7 +69,8 @@ def test_fused_stylized_render_through_pipeline(
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     out_dir = pipe.render_stylized("train")
 
-    files = sorted(f for f in os.listdir(out_dir) if "depth" not in f)
+    files = sorted(f for f in os.listdir(out_dir)
+                   if "depth" not in f and f.endswith(".png"))
     assert len(files) == 8  # 8 training views, 1 style
     img = np.asarray(
         __import__("PIL.Image", fromlist=["Image"]).open(

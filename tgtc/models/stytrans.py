@@ -138,4 +138,6 @@ def style_feature_from_tokens(hs: jnp.ndarray) -> jnp.ndarray:
     feature accumulation)."""
     b = hs.shape[0]
     tok = hs.reshape(b, -1, hs.shape[-1])
-    return jnp.concatenate([tok.mean(axis=1), tok.var(axis=1)], axis=-1)
+    # torch-var parity: unbiased (/root/reference/trans_test.py:176)
+    return jnp.concatenate(
+        [tok.mean(axis=1), tok.var(axis=1, ddof=1)], axis=-1)

@@ -21,15 +21,18 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-# (name, out_channels) per conv in order; pools sit between stages.
-_STAGES: Tuple[Tuple[Tuple[str, int], ...], ...] = (
+# Ops per pyramid stage, in order. "pool" marks the ceil-mode max-pool,
+# which the reference places AFTER each stage's trailing convs — between
+# conv1_2 and conv2_1 etc. (/root/reference/tctrans.py:75-78), NOT at the
+# stage boundary (caught by tests/test_stytrans_parity.py).
+_STAGES: Tuple[Tuple[Any, ...], ...] = (
     (("conv0", 3), ("conv1_1", 64)),                      # → relu1_1
-    (("conv1_2", 64), ("conv2_1", 128)),                  # → relu2_1
-    (("conv2_2", 128), ("conv3_1", 256)),                 # → relu3_1
+    (("conv1_2", 64), "pool", ("conv2_1", 128)),          # → relu2_1
+    (("conv2_2", 128), "pool", ("conv3_1", 256)),         # → relu3_1
     (("conv3_2", 256), ("conv3_3", 256), ("conv3_4", 256),
-     ("conv4_1", 512)),                                   # → relu4_1
+     "pool", ("conv4_1", 512)),                           # → relu4_1
     (("conv4_2", 512), ("conv4_3", 512), ("conv4_4", 512),
-     ("conv5_1", 512)),                                   # → relu5_1
+     "pool", ("conv5_1", 512)),                           # → relu5_1
 )
 
 
@@ -73,9 +76,11 @@ class VggEncoder(nn.Module):
             if si == 4 and self.truncated:
                 feats.append(x)  # empty enc_5: relu5_1 == relu4_1
                 break
-            if si > 0:
-                x = ceil_max_pool(x)
-            for name, ch in stage:
+            for op in stage:
+                if op == "pool":
+                    x = ceil_max_pool(x)
+                    continue
+                name, ch = op
                 if first:
                     # 1x1 RGB remap conv, no padding, no relu
                     x = nn.Conv(ch, (1, 1), name=name)(x)

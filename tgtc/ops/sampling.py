@@ -6,9 +6,10 @@ key-threaded jnp functions with static shapes:
 * :func:`sample_along_rays_uniform` — ``sampling_pts_uniform`` parity
   (uniform / disparity ["harmony"] spacing, optional mid-bin jitter).
 * :func:`sample_pdf` — ``sample_pdf`` parity (inverse-CDF importance
-  sampling via a *vectorized branchless searchsorted*; torch.searchsorted
-  becomes `jnp.searchsorted`, which XLA lowers to a fully parallel
-  comparison network — no data-dependent control flow).
+  sampling). torch.searchsorted becomes a branchless comparison-count
+  plus one-hot einsum gathers — NOT ``jnp.searchsorted``, whose vmapped
+  binary search lowers to a serial while-loop on TPU and measured ~88 ms
+  per 16k-ray block (see BASELINE.md round-2 bisect).
 * :func:`merge_and_resample_fine` — ``sampling_pts_fine_torch`` parity
   (resample from coarse weights, merge + sort coarse∪fine depths).
 

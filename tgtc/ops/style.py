@@ -18,7 +18,10 @@ def calc_mean_std(feat: jnp.ndarray, eps: float = 1e-5
     """Per-(batch, channel) spatial mean/std of NHWC features
     (parity with /root/reference/Style_function.py:4-12)."""
     mean = jnp.mean(feat, axis=(1, 2), keepdims=True)
-    var = jnp.var(feat, axis=(1, 2), keepdims=True)
+    # torch .var() defaults to UNBIASED (n-1) — ddof=1 is load-bearing for
+    # numeric parity with the reference losses (caught by
+    # tests/test_stytrans_parity.py)
+    var = jnp.var(feat, axis=(1, 2), keepdims=True, ddof=1)
     return mean, jnp.sqrt(var + eps)
 
 

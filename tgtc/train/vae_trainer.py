@@ -43,7 +43,9 @@ def vgg_style_feature(vgg: VggEncoder, vgg_params, images: jnp.ndarray
     feats = vgg.apply(vgg_params, images)
     f4 = feats[3]  # relu4_1, 512 channels
     mean = jnp.mean(f4, axis=(1, 2))
-    std = jnp.std(f4, axis=(1, 2))
+    # reference: calc_mean_std → sqrt(unbiased var + 1e-5)
+    # (/root/reference/train_style_modules.py:277-279)
+    std = jnp.sqrt(jnp.var(f4, axis=(1, 2), ddof=1) + 1e-5)
     return jnp.concatenate([mean, std], axis=-1)
 
 
