@@ -92,43 +92,88 @@ def make_scene(root: str, h: int, w: int, n: int = 12,
             np.concatenate([poses_disk.reshape(n, 15), bds], 1))
 
 
+def make_styles(style_dir: str) -> None:
+    from PIL import Image
+
+    os.makedirs(style_dir, exist_ok=True)
+    for k in range(2):
+        tex = _texture(7 + 3 * k, 512, 512)
+        # high-contrast palette so stylization is visually distinct
+        tex = np.stack([tex[..., (k + i) % 3] for i in range(3)], -1)
+        tex = np.clip(tex * 1.4 - 0.2, 0, 1)
+        Image.fromarray((tex * 255).astype(np.uint8)).save(
+            os.path.join(style_dir, f"style{k}.png"))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--height", type=int, default=756)
     ap.add_argument("--width", type=int, default=1008)
     ap.add_argument("--workdir", default="/tmp/tgtc_realscale")
+    ap.add_argument("--full", action="store_true",
+                    help="continue through phases B-F (2 styles, reduced "
+                         "iteration counts, full-size networks)")
+    ap.add_argument("--c1_iters", type=int, default=150)
+    ap.add_argument("--c2_iters", type=int, default=15)
+    ap.add_argument("--total_step_delta", type=int, default=400)
     args = ap.parse_args()
 
     root = os.path.join(args.workdir, "scene")
     if not os.path.exists(os.path.join(root, "poses_bounds.npy")):
         make_scene(root, args.height, args.width)
+    style_dir = os.path.join(args.workdir, "styles")
+    make_styles(style_dir)
 
     from tgtc.config import Config
     from tgtc.train.pipeline import Pipeline
 
     cfg = Config(
         expname="realscale", basedir=os.path.join(args.workdir, "logs"),
-        datadir=root, styledir=root, factor=1.0,
+        datadir=root, styledir=style_dir, factor=1.0,
         use_viewdir=True, netdepth=8, netwidth=256,
         netdepth_fine=8, netwidth_fine=256,
         N_samples=64, N_samples_fine=64, batch_size=2048,
         origin_step=args.steps, i_print=200, lrate_decay=250000,
+        total_step=args.steps + args.total_step_delta,
+        batch_size_style=256,
         use_pallas=True,
     )
     pipe = Pipeline(cfg)
+    pipe.vae_iters = 200
     t0 = time.perf_counter()
     pipe.train_nerf()
     dt = time.perf_counter() - t0
     psnr = pipe.evaluate()
-    print(json.dumps({
+    result = {
         "metric": "realscale_phaseA",
         "resolution": f"{args.height}x{args.width}",
         "steps": args.steps,
         "train_seconds": round(dt, 1),
         "steps_per_sec": round(args.steps / max(dt, 1e-9), 2),
         "holdout_psnr_db": round(psnr, 2),
-    }))
+    }
+    print(json.dumps(result), flush=True)
+
+    if args.full:
+        t0 = time.perf_counter()
+        pipe.ensure_geometry()
+        print(f"phase B done in {time.perf_counter()-t0:.0f} s", flush=True)
+        t0 = time.perf_counter()
+        pipe.ensure_style2d(c1_iters=args.c1_iters, c2_iters=args.c2_iters)
+        print(f"phase C done in {time.perf_counter()-t0:.0f} s", flush=True)
+        t0 = time.perf_counter()
+        pipe.train_style3d()
+        print(f"phase D+E done in {time.perf_counter()-t0:.0f} s", flush=True)
+        t0 = time.perf_counter()
+        out_dir = pipe.render_stylized("train")
+        nfiles = len([f for f in os.listdir(out_dir) if f.endswith(".png")])
+        result.update({
+            "phaseF_dir": out_dir,
+            "phaseF_pngs": nfiles,
+            "phaseF_seconds": round(time.perf_counter() - t0, 1),
+        })
+        print(json.dumps(result), flush=True)
     pipe.close()
 
 
