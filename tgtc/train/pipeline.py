@@ -272,7 +272,6 @@ class Pipeline:
         if os.path.exists(os.path.join(self.stylized_dir, "stylized_data.npz")):
             return
         from tgtc.ops.rasterize import llff_projection_matrix
-        from tgtc.train.stylize import stylize_directory
         from tgtc.train.temporal import (
             TemporalTrainConfig, make_temporal_train_step, sample_patch,
         )
