@@ -116,7 +116,7 @@ def main():
                          "iteration counts, full-size networks)")
     ap.add_argument("--c1_iters", type=int, default=150)
     ap.add_argument("--c2_iters", type=int, default=15)
-    ap.add_argument("--total_step_delta", type=int, default=400)
+    ap.add_argument("--total_step_delta", type=int, default=4000)
     args = ap.parse_args()
 
     root = os.path.join(args.workdir, "scene")
@@ -137,6 +137,7 @@ def main():
         origin_step=args.steps, i_print=200, lrate_decay=250000,
         total_step=args.steps + args.total_step_delta,
         batch_size_style=256,
+        loss_coh_lambda=1e2,   # fern.txt value (config default 5e3)
         use_pallas=True,
     )
     pipe = Pipeline(cfg)

@@ -116,3 +116,16 @@ class TestCheckpoint:
             assert cfg.N_samples == 64
             assert cfg.use_viewdir is True
             assert cfg.origin_step == 120001
+
+
+def test_coh_gate_derives_from_origin_step(tmp_path, synthetic_llff_dir):
+    """coh_until_step=-1 reproduces the reference's 122000 gate for the
+    shipped origin_step=120001 and scales for any other origin_step."""
+    from tgtc.config import Config
+
+    cfg = Config(
+        expname="g", basedir=str(tmp_path), datadir=synthetic_llff_dir,
+        styledir=str(tmp_path), factor=1.0, origin_step=120001,
+    )
+    assert cfg.coh_until_step == -1
+    assert cfg.origin_step + 1999 == 122000

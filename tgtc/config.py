@@ -63,6 +63,11 @@ class Config:
     loss_coh_lambda: float = 5e3
     logp_loss_lambda: float = 0.1
     logp_loss_decay: float = 1.0
+    # coherence gate: the reference hardcodes ``global_step > 122000``
+    # (/root/reference/train_tgtcs.py:486) = origin_step + 1999 for the
+    # shipped origin_step=120001. -1 derives it that way for ANY
+    # origin_step; set explicitly to pin an absolute step.
+    coh_until_step: int = -1
     lambda_u: float = 0.01
 
     # network

@@ -510,6 +510,10 @@ class Pipeline:
             sigma_scale=cfg.sigma_scale,
             origin_step=cfg.origin_step,
             dataset_type=cfg.dataset_type,
+            coh_until_step=(
+                cfg.coh_until_step if cfg.coh_until_step >= 0
+                else cfg.origin_step + 1999
+            ),
         )
         concat_model, style_model, sstate = init_style_state(
             jax.random.PRNGKey(cfg.seed + 8), field, scfg,
