@@ -137,7 +137,10 @@ def main():
         origin_step=args.steps, i_print=200, lrate_decay=250000,
         total_step=args.steps + args.total_step_delta,
         batch_size_style=256,
-        loss_coh_lambda=1e2,   # fern.txt value (config default 5e3)
+        # the synthetic rainbow scene's origin-cosine pattern makes the
+        # coherence gradient ~450x the rgb gradient at fern's 1e2 (see
+        # BASELINE.md "coherence dynamics") — scale it to this workload
+        loss_coh_lambda=1.0,
         use_pallas=True,
     )
     pipe = Pipeline(cfg)

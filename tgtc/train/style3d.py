@@ -71,6 +71,15 @@ class StyleTrainConfig:
     origin_step: int = 120001
     coh_until_step: int = 122000    # reference hardcoded gate
     dataset_type: str = "llff"
+    # Measured dynamics note (BASELINE.md): with coherence active from the
+    # first step (the reference's schedule), Adam's direction is dominated
+    # by the scale-invariant cosine term; on high-chroma synthetic scenes
+    # this saturates the style MLP's sigmoid within ~100 steps and the
+    # field never recovers (rgb 0.15→0.55 dead, vs 5e-4 with λ_coh=0).
+    # Gradient-norm clipping provably cannot help (Adam is invariant to
+    # gradient scale). On natural scenes the origin cosine pattern is far
+    # gentler. Mitigation when it bites: lower loss_coh_lambda or shift
+    # coh_until_step.
 
 
 class StyleTrainState(struct.PyTreeNode):
