@@ -104,3 +104,49 @@ class TestFusedKernel:
         np.testing.assert_allclose(
             np.asarray(out["t_exp"]), np.asarray(ref["t_exp"]), atol=5e-2
         )
+
+
+class TestShardedFusedRender:
+    def test_sharded_matches_single_device(self, cpu_mesh8):
+        """The fused render under shard_map over 8 virtual devices equals
+        the unsharded result (interpret mode on CPU)."""
+        from tgtc.models.nerf import NerfConfig
+        from tgtc.render.fast import (
+            make_fused_render_fn,
+            make_sharded_fused_render_fn,
+        )
+        from tgtc.render.volume import RenderSettings
+        from tgtc.train.nerf_trainer import NerfTrainConfig, init_state
+
+        cfg = NerfConfig(depth=2, width=16, embed_freq_coor=2,
+                         embed_freq_dir=1, use_viewdir=True)
+        cm, fm, state = init_state(jax.random.PRNGKey(0), cfg,
+                                   NerfTrainConfig())
+        from tgtc.ops.pallas.nerf_mlp import pack_nerf_params
+
+        kw = dict(depth=2, num_freq_coor=2, num_freq_dir=1, width=16,
+                  tile=16, interpret=True)
+        pc = pack_nerf_params(state.params_coarse, depth=2, num_freq_coor=2,
+                              num_freq_dir=1, width=16)
+        pf = pack_nerf_params(state.params_fine, depth=2, num_freq_coor=2,
+                              num_freq_dir=1, width=16)
+        settings = RenderSettings(n_samples=4, n_samples_fine=4,
+                                  sigma_noise_std=0.0)
+
+        key = jax.random.PRNGKey(1)
+        n = 8 * 16 * 2  # mesh size x tile x 2
+        ro = jax.random.uniform(key, (n, 3), minval=-1, maxval=1)
+        rd = jax.random.normal(jax.random.fold_in(key, 1), (n, 3))
+        rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+
+        single = make_fused_render_fn(settings, **kw)(*pc, *pf, ro, rd)
+        sharded_fn = make_sharded_fused_render_fn(settings, cpu_mesh8, **kw)
+        sharded = sharded_fn(*pc, *pf, ro, rd)
+        np.testing.assert_allclose(
+            np.asarray(sharded["rgb"]), np.asarray(single["rgb"]),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded["t_exp"]), np.asarray(single["t_exp"]),
+            rtol=1e-5, atol=1e-6,
+        )

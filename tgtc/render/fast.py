@@ -174,3 +174,42 @@ class FusedNerfRenderer:
             out = self.render(bo, bd)
             outs.append(jax.tree.map(lambda x: x[: end - start], out))
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
+
+
+def make_sharded_fused_render_fn(
+    settings: RenderSettings,
+    mesh,
+    axis: str = "data",
+    **kw,
+):
+    """Multi-chip fused render: shard the ray axis over ``mesh``'s data
+    axis with ``shard_map`` — each chip runs the fused Pallas pipeline on
+    its ray shard, weights replicated, no collectives in the hot path
+    (output rows gather only at fetch). The multi-chip Phase-B/F analog of
+    the reference's (absent) distributed rendering.
+
+    Ray count must be divisible by mesh size × tile.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    inner = make_fused_render_fn(settings, **kw)
+    n_w = 6  # packed coarse (3) + packed fine (3) weight operands
+
+    out_specs = {
+        "rgb": P(axis), "rgb_coarse": P(axis), "t_exp": P(axis),
+        "t_exp_coarse": P(axis), "acc": P(axis),
+    }
+    return jax.jit(
+        shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(),) * n_w + (P(axis), P(axis)),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+    )
