@@ -19,6 +19,29 @@ from tgtc.config import load_config
 from tgtc.train.pipeline import Pipeline
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: the full-size StyTrans train step
+    takes minutes to compile; caching makes every later process start warm.
+    Opt out with TGTC_NO_COMPILE_CACHE=1 or point TGTC_COMPILE_CACHE at a
+    different directory."""
+    import os
+
+    if os.environ.get("TGTC_NO_COMPILE_CACHE") == "1":
+        return
+    cache_dir = os.environ.get(
+        "TGTC_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "tgtc_jax"),
+    )
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never fatal
+        print(f"[cache] compilation cache disabled: {e}", flush=True)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     import os
 
@@ -33,6 +56,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         import jax
 
         jax.config.update("jax_debug_nans", True)
+    _enable_compilation_cache()
     pipe = Pipeline(cfg)
     try:
         pipe.run()
