@@ -56,3 +56,24 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def measure_fused(n_steps: int = 30) -> float:
+    from tgtc.train.nerf_trainer import make_fused_train_step
+
+    cfg = NerfTrainConfig(batch_size=2048, n_samples=64, n_samples_fine=64)
+    ncfg = NerfConfig()
+    cm, fm, state = init_state(jax.random.PRNGKey(0), ncfg, cfg)
+    key = jax.random.PRNGKey(1)
+    n = 1 << 20
+    ro = jax.random.uniform(key, (n, 3))
+    rd = jax.random.normal(key, (n, 3))
+    rgb = jax.random.uniform(key, (n, 3))
+    step = make_fused_train_step(ncfg, cfg, tile=1024)
+    state, m = step(state, ro, rd, rgb, key)
+    float(np.asarray(m["loss"]))
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, m = step(state, ro, rd, rgb, key)
+    float(np.asarray(m["loss"]))
+    return n_steps / (time.perf_counter() - t0)

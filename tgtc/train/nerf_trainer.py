@@ -223,3 +223,112 @@ def render_image(
         out = render_fn(params_coarse, params_fine, bo, bd)
         outs.append(jax.tree.map(lambda x: x[: end - start], out))
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
+
+def make_fused_train_step(
+    nerf_cfg: NerfConfig,
+    train_cfg: NerfTrainConfig,
+    mesh: Optional[Mesh] = None,
+    tile: int = 1024,
+):
+    """Phase-A train step on the fused Pallas trunk with the custom-VJP
+    backward kernel (tgtc.ops.pallas.nerf_mlp_grad) — forward AND backward
+    keep activations in VMEM instead of round-tripping [points, 256]
+    tensors through HBM (the XLA path's bound, ~53 TFLOP/s).
+
+    Same signature/semantics as :func:`make_train_step`. Requires
+    batch_size × n_samples and batch_size × (n_samples + n_samples_fine)
+    to be multiples of ``tile``, and the default skip-4 trunk layout.
+    """
+    from tgtc.ops.pallas.nerf_mlp_grad import (
+        make_diff_apply,
+        pack_nerf_params_traceable,
+    )
+    from tgtc.render.fast import _points_t
+    from tgtc.ops.composite import alpha_composite
+    from tgtc.ops.sampling import (
+        merge_and_resample_fine,
+        sample_along_rays_uniform,
+    )
+
+    tx = make_optimizer(train_cfg)
+    s = train_cfg
+    nfc, nfd = nerf_cfg.embed_freq_coor, nerf_cfg.embed_freq_dir
+    skip = nerf_cfg.skips[0] if nerf_cfg.skips else nerf_cfg.depth + 1
+    apply_c = make_diff_apply(nerf_cfg.depth, skip, nfc, nfd,
+                              nerf_cfg.width, tile=tile)
+
+    def pack(p, depth, width):
+        return pack_nerf_params_traceable(p, depth, nfc, nfd, skip, width)
+
+    def run_pass(apply, packed, rays_o, rays_d, ts, k_noise):
+        r, n = ts.shape
+        pt, dt = _points_t(rays_o, rays_d, ts)
+        rgb_t, sigma_t = apply(*packed, pt, dt)
+        rgb = rgb_t.reshape(3, r, n).transpose(1, 2, 0)
+        sigma = sigma_t.reshape(r, n)
+        return alpha_composite(rgb, sigma, ts,
+                               noise_std=s.sigma_noise_std, key=k_noise,
+                               white_bkgd=s.white_bkgd)
+
+    def step_fn(state: NerfTrainState, rays_o, rays_d, rgb_gt, key):
+        k_idx, k_render = jax.random.split(jax.random.fold_in(key, state.step))
+        idx = jax.random.randint(k_idx, (s.batch_size,), 0, rays_o.shape[0])
+        b_o, b_d, b_rgb = rays_o[idx], rays_d[idx], rgb_gt[idx]
+        if mesh is not None:
+            shard = data_sharding(mesh, 2)
+            b_o = jax.lax.with_sharding_constraint(b_o, shard)
+            b_d = jax.lax.with_sharding_constraint(b_d, shard)
+            b_rgb = jax.lax.with_sharding_constraint(b_rgb, shard)
+        k_samp, k_n1, k_n2 = jax.random.split(k_render, 3)
+
+        def loss_fn(params):
+            pc = pack(params["coarse"], nerf_cfg.depth, nerf_cfg.width)
+            pf = pack(params["fine"], nerf_cfg.depth, nerf_cfg.width)
+            _, ts = sample_along_rays_uniform(
+                b_o, b_d, s.n_samples, near=s.near, far=s.far, key=k_samp,
+            )
+            comp_c = run_pass(apply_c, pc, b_o, b_d, ts, k_n1)
+            _, ts_f = merge_and_resample_fine(
+                b_o, b_d, ts, comp_c.weights, s.n_samples_fine
+            )
+            comp_f = run_pass(apply_c, pf, b_o, b_d, ts_f, k_n2)
+            loss_c = img2mse(comp_c.rgb, b_rgb)
+            loss_f = img2mse(comp_f.rgb, b_rgb)
+            return loss_c + loss_f, (loss_c, loss_f)
+
+        params = {"coarse": state.params_coarse, "fine": state.params_fine}
+        (loss, (loss_c, loss_f)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, state.opt_state, params)
+        params = optax.apply_updates(params, updates)
+        new_state = NerfTrainState(
+            step=state.step + 1,
+            params_coarse=params["coarse"],
+            params_fine=params["fine"],
+            opt_state=opt_state,
+        )
+        metrics = {
+            "loss": loss, "loss_coarse": loss_c, "loss_fine": loss_f,
+            "psnr": mse2psnr(loss_c), "psnr_fine": mse2psnr(loss_f),
+        }
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def fused_train_supported(nerf_cfg: NerfConfig, fine_cfg: Optional[NerfConfig],
+                          train_cfg: NerfTrainConfig, tile: int = 1024) -> bool:
+    """Eligibility for :func:`make_fused_train_step`: default relu trunk,
+    symmetric coarse/fine dims, tile-divisible point counts."""
+    f = fine_cfg or nerf_cfg
+    nc = train_cfg.batch_size * train_cfg.n_samples
+    nf = train_cfg.batch_size * (train_cfg.n_samples + train_cfg.n_samples_fine)
+    return (
+        nerf_cfg.act_type == "relu"
+        and nerf_cfg.use_viewdir
+        and tuple(nerf_cfg.skips) == (4,)
+        and f.depth == nerf_cfg.depth and f.width == nerf_cfg.width
+        and nc % tile == 0 and nf % tile == 0
+    )
