@@ -43,21 +43,6 @@ def measure(feature_major: bool, n_steps: int = 30) -> float:
     return n_steps / (time.perf_counter() - t0)
 
 
-def main():
-    pm = measure(False)
-    fmj = measure(True)
-    print(json.dumps({
-        "metric": "nerf_train_steps_per_sec",
-        "point_major": round(pm, 2),
-        "feature_major": round(fmj, 2),
-        "rays_per_sec_best": round(max(pm, fmj) * 2048, 1),
-    }))
-
-
-if __name__ == "__main__":
-    main()
-
-
 def measure_fused(n_steps: int = 30) -> float:
     from tgtc.train.nerf_trainer import make_fused_train_step
 
@@ -77,3 +62,20 @@ def measure_fused(n_steps: int = 30) -> float:
         state, m = step(state, ro, rd, rgb, key)
     float(np.asarray(m["loss"]))
     return n_steps / (time.perf_counter() - t0)
+
+
+def main():
+    pm = measure(False)
+    fmj = measure(True)
+    fused = measure_fused()
+    print(json.dumps({
+        "metric": "nerf_train_steps_per_sec",
+        "point_major": round(pm, 2),
+        "feature_major": round(fmj, 2),
+        "fused_custom_vjp": round(fused, 2),
+        "rays_per_sec_best": round(max(pm, fmj, fused) * 2048, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

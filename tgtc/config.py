@@ -105,6 +105,10 @@ class Config:
     # logging/saving
     i_print: int = 100
     i_weights: int = 5000
+    # accepted for config-file parity but DEAD IN THE REFERENCE ITSELF
+    # (/root/reference/config.py:126 defines it; nothing reads it) — the
+    # turntable video is written unconditionally at the end of Phase F.
+    # See DESIGN.md "Dead reference flags".
     i_video: int = 50000 * 100
     ckp_num: int = 3
 

@@ -179,26 +179,38 @@ def minify(basedir: str, factor: int) -> str:
         return imgdir
     srcdir = os.path.join(basedir, "images")
     files = _list_images(srcdir)
-    os.makedirs(imgdir, exist_ok=True)
-    for f in files:
-        out = os.path.join(
-            imgdir, os.path.splitext(os.path.basename(f))[0] + ".png"
-        )
-        with Image.open(f) as im:
-            w, h = im.size
-            if h % factor == 0 and w % factor == 0:
-                arr = np.asarray(im.convert("RGB"), np.uint8)
-                native.write_png_async(
-                    out, native.resize_box(arr, factor)
-                )
-                continue
-            im = im.convert("RGB").resize(
-                (round(w / factor), round(h / factor)), Image.LANCZOS
+    # Write into a temp dir and atomically rename at the end: the
+    # idempotence check above is bare directory existence, so a crash or
+    # interrupt mid-minify must not leave a partial images_{factor}/ that
+    # every later run would treat as complete.
+    tmpdir = imgdir + ".tmp"
+    if os.path.exists(tmpdir):
+        import shutil
+
+        shutil.rmtree(tmpdir)  # leftover from an interrupted run
+    os.makedirs(tmpdir)
+    try:
+        for f in files:
+            out = os.path.join(
+                tmpdir, os.path.splitext(os.path.basename(f))[0] + ".png"
             )
-            im.save(out)
-    errs = native.wait_writes()
+            with Image.open(f) as im:
+                w, h = im.size
+                if h % factor == 0 and w % factor == 0:
+                    arr = np.asarray(im.convert("RGB"), np.uint8)
+                    native.write_png_async(
+                        out, native.resize_box(arr, factor)
+                    )
+                    continue
+                im = im.convert("RGB").resize(
+                    (round(w / factor), round(h / factor)), Image.LANCZOS
+                )
+                im.save(out)
+    finally:
+        errs = native.wait_writes()
     if errs:
-        raise IOError(f"{errs} async png writes failed in {imgdir}")
+        raise IOError(f"{errs} async png writes failed in {tmpdir}")
+    os.rename(tmpdir, imgdir)
     return imgdir
 
 

@@ -92,10 +92,25 @@ def load_style_scene(
     # whose recorded paths don't exist on this machine
     style_dirs = [str(p) for p in npz["style_paths"]] if "style_paths" in npz \
         else [stylized_dir] * s
+    missing = [d for d in style_dirs if not os.path.isdir(d)]
+    if missing:
+        print(f"[style_dataset] WARNING: {len(missing)} recorded style dir(s) "
+              f"missing on this machine (e.g. {missing[0]}); falling back to "
+              f"{stylized_dir}", flush=True)
     style_dirs = [d if os.path.isdir(d) else stylized_dir
                   for d in style_dirs]
     if len(style_dirs) < s:
         style_dirs = style_dirs + [stylized_dir] * (s - len(style_dirs))
+    if s > 1 and len(set(style_dirs)) == 1 and missing:
+        # every style collapsed to the same fallback dir: all S styles
+        # would silently load IDENTICAL stylized frames while
+        # style_features still differ per style — training garbage
+        raise FileNotFoundError(
+            f"all {s} styles' recorded frame dirs are missing and collapse "
+            f"to the single fallback {stylized_dir}; restore the per-style "
+            f"dirs recorded in stylized_data.npz (style_paths) or re-run "
+            f"Phase C3"
+        )
     stylized = np.zeros((s, f, h, w, 3), np.float32)
     for si in range(s):
         for j in range(f):

@@ -10,8 +10,11 @@ from tgtc.ops.sampling import (
     sample_along_rays_uniform,
     sample_pdf,
     merge_and_resample_fine,
-    merge_two_sorted,
 )
+
+# NOTE: tgtc.ops.sampling.merge_two_sorted is a documented experiment
+# (rank-merge vs jnp.sort, BASELINE.md) kept out of the public API — the
+# production renderers deliberately use jnp.sort, which fuses better.
 from tgtc.ops.composite import alpha_composite, alpha_composite_wild
 from tgtc.ops.losses import img2mse, mse2psnr, img2l1, l2_norm, cosine_similarity
 from tgtc.ops.style import (
@@ -37,7 +40,6 @@ __all__ = [
     "sample_along_rays_uniform",
     "sample_pdf",
     "merge_and_resample_fine",
-    "merge_two_sorted",
     "alpha_composite",
     "alpha_composite_wild",
     "img2mse",

@@ -197,8 +197,12 @@ def make_sharded_fused_render_fn(
 
     try:
         from jax import shard_map  # jax >= 0.8
+        vma_kw = {"check_vma": False}
     except ImportError:  # pragma: no cover
+        # experimental API (jax < 0.8) spells the same escape hatch
+        # check_rep — passing check_vma there would TypeError
         from jax.experimental.shard_map import shard_map
+        vma_kw = {"check_rep": False}
 
     inner = make_fused_render_fn(settings, **kw)
     n_w = 6  # packed coarse (3) + packed fine (3) weight operands
@@ -213,6 +217,6 @@ def make_sharded_fused_render_fn(
             mesh=mesh,
             in_specs=(P(),) * n_w + (P(axis), P(axis)),
             out_specs=out_specs,
-            check_vma=False,
+            **vma_kw,
         )
     )

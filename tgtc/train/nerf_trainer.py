@@ -230,6 +230,7 @@ def make_fused_train_step(
     train_cfg: NerfTrainConfig,
     mesh: Optional[Mesh] = None,
     tile: int = 1024,
+    fine_cfg: Optional[NerfConfig] = None,
 ):
     """Phase-A train step on the fused Pallas trunk with the custom-VJP
     backward kernel (tgtc.ops.pallas.nerf_mlp_grad) — forward AND backward
@@ -238,8 +239,18 @@ def make_fused_train_step(
 
     Same signature/semantics as :func:`make_train_step`. Requires
     batch_size × n_samples and batch_size × (n_samples + n_samples_fine)
-    to be multiples of ``tile``, and the default skip-4 trunk layout.
+    to be multiples of ``tile``, and the default skip-4 trunk layout; the
+    fine net must share the coarse dims (the kernel packs one weight
+    layout and reuses it for both passes). Pass ``fine_cfg`` when the
+    fine net's config differs so the check can see it.
     """
+    if not fused_train_supported(nerf_cfg, fine_cfg, train_cfg, tile=tile):
+        raise ValueError(
+            "make_fused_train_step preconditions not met (relu trunk, "
+            "use_viewdir, skips=(4,), fine dims == coarse dims, point "
+            "counts divisible by tile) — check fused_train_supported() "
+            "before calling, or use make_train_step()."
+        )
     from tgtc.ops.pallas.nerf_mlp_grad import (
         make_diff_apply,
         pack_nerf_params_traceable,

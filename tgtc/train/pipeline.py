@@ -198,7 +198,8 @@ class Pipeline:
             # (perf/bench_train.py measure_fused)
             print("[train] fused Pallas trunk (fwd+bwd kernels)", flush=True)
             step_fn = make_fused_train_step(self.nerf_cfg, train_cfg,
-                                            mesh=self.mesh)
+                                            mesh=self.mesh,
+                                            fine_cfg=self.nerf_cfg_fine)
         else:
             step_fn = make_train_step(cm, fm, train_cfg, mesh=self.mesh)
         key = jax.random.PRNGKey(cfg.seed + 1)
