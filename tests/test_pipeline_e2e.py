@@ -67,6 +67,16 @@ def test_full_pipeline_smoke(synthetic_llff_dir, style_dir, tmp_path):
         os.path.join(pipe.stylized_dir, "stylized_data.npz")
     )
     assert os.path.exists(os.path.join(pipe.stylized_dir, "001.jpg"))
+    # visual-debug artifacts: C1 content/style/stylized collage
+    # (reference trans_train.py:180-183) and the end-of-C2 warp dumps
+    # (reference train_style_modules.py:519-528)
+    assert os.path.exists(os.path.join(pipe.exp_dir, "test", "3.png"))
+    for name in ("stylized_content", "warped_stylized_content",
+                 "warped_mask", "coor_dist_msk"):
+        assert os.path.exists(
+            os.path.join(pipe.exp_dir, f"{name}_000.png")
+        ), name
+    assert os.path.exists(os.path.join(pipe.exp_dir, "style_image.png"))
 
     # D+E — VAE, latent seeding, style-field training
     pipe.train_style3d()

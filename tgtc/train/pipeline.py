@@ -335,8 +335,16 @@ class Pipeline:
         tstate = jax.device_put(tstate, replicated_sharding(self.mesh))
         if int(tstate.step) < tcfg.max_iter:
             from tgtc.data.prefetch import CropBatchPrefetcher
+            from tgtc.train.transformer2d import make_collage_fn
+            from tgtc.utils import native
 
             step_fn = make_transformer_train_step(model, tcfg, mesh=self.mesh)
+            # content/style/stylized collage every 100 iters — the
+            # reference's de-facto C1 verification artifact
+            # (/root/reference/trans_train.py:180-183, save_dir/test/)
+            collage_fn = make_collage_fn(model)
+            collage_dir = os.path.join(self.exp_dir, "test")
+            os.makedirs(collage_dir, exist_ok=True)
             key = jax.random.PRNGKey(cfg.seed + 3)
             # overlapped host decode (the reference's DataLoader workers,
             # /root/reference/trans_train.py:134-141)
@@ -358,6 +366,13 @@ class Pipeline:
                         jax.block_until_ready(m["loss"])
                     if step % 100 == 0:
                         self.log.log(step, m, prefix="TRANS TRAIN")
+                    if step % 100 == 0 or step >= tcfg.max_iter:
+                        native.write_png_async(
+                            os.path.join(collage_dir, f"{step}.png"),
+                            np.asarray(
+                                collage_fn(tstate.params, content, style)
+                            ),
+                        )
                     if step % 1000 == 0 or step >= tcfg.max_iter:
                         self.trans_ckpt.save(step, jax.device_get(tstate))
 
@@ -407,6 +422,33 @@ class Pipeline:
             )
             if (i + 1) % 20 == 0:
                 self.log.log(i + 1, m, prefix="TEMPORAL")
+            if i + 1 == ccfg.max_iter:
+                # end-of-C2 debug dumps: warped/stylized/mask images per
+                # view + the style image — the reference's de-facto C2
+                # verification (/root/reference/train_style_modules.py:519-528)
+                from tgtc.train.temporal import make_temporal_debug_fn
+                from tgtc.utils import native
+
+                dbg = make_temporal_debug_fn(
+                    model, ccfg, proj, h, w,
+                    is_ndc=not cfg.no_ndc, focal=focal,
+                )(c2state.params, content, coor, jnp.asarray(cps[ids]),
+                  style, (y0, x0), key)
+                for name, imgs in (
+                    ("stylized_content", dbg["stylized_content"]),
+                    ("warped_stylized_content", dbg["warped_stylized_content"]),
+                    ("warped_mask", dbg["warped_mask"]),
+                    ("coor_dist_msk", dbg["coor_dist_msk"]),
+                ):
+                    for b, img in enumerate(np.asarray(imgs)):
+                        native.write_png_async(
+                            os.path.join(self.exp_dir, f"{name}_{b:03d}.png"),
+                            img,
+                        )
+                native.write_png_async(
+                    os.path.join(self.exp_dir, "style_image.png"),
+                    np.asarray(style[0]),
+                )
 
         # ---- C3 bulk stylize — over ALL styles, populating the [S, F]
         # style axis Phase E consumes
@@ -669,7 +711,6 @@ class Pipeline:
         (tgtc.render.fast_style) — the TPU hot path."""
         from tgtc.render.fast_style import FusedStyleRenderer
         from tgtc.render.volume import RenderSettings
-        from tgtc.utils import native
 
         cfg = self.cfg
         os.makedirs(out_dir, exist_ok=True)
@@ -688,48 +729,12 @@ class Pipeline:
             trunk_width=cfg.netwidth, depth_fine=cfg.netdepth_fine,
             trunk_width_fine=cfg.netwidth_fine,
         )
-        v, h, w, _ = ro.shape
-        n = h * w
-        block = self._render_block
-        key = jax.random.PRNGKey(cfg.seed + 10)
-        for s in range(data.style_num):
-            for f in range(v):
-                path = os.path.join(out_dir, f"style_{s:05d}_fine_{f:05d}.png")
-                if os.path.exists(path):
-                    continue
-                ro_f = jnp.reshape(ro[f], (-1, 3))
-                rd_f = jnp.reshape(rd[f], (-1, 3))
-                outs = []
-                for start in range(0, n, block):
-                    end = min(start + block, n)
-                    bo, bd = ro_f[start:end], rd_f[start:end]
-                    if end - start < block:
-                        pad = block - (end - start)
-                        bo = jnp.concatenate([bo, jnp.zeros((pad, 3))], 0)
-                        bd = jnp.concatenate([bd, jnp.ones((pad, 3))], 0)
-                    out = rend.render(
-                        bo, bd,
-                        jnp.full((block,), s, jnp.int32),
-                        jnp.full((block,), f, jnp.int32),
-                        jax.random.fold_in(jax.random.fold_in(key, f), start),
-                    )
-                    outs.append(jax.tree.map(lambda x: x[: end - start], out))
-                out = jax.tree.map(
-                    lambda *xs: np.concatenate([np.asarray(x) for x in xs], 0),
-                    *outs,
-                )
-                rgb = np.clip(out["rgb"].reshape(h, w, 3), 0, 1)
-                t = out["t_exp"].reshape(h, w)
-                t = (t - t.min()) / (t.max() - t.min() + 1e-7)
-                native.write_png_async(path, rgb)
-                native.write_png_async(
-                    os.path.join(out_dir,
-                                 f"style_{s:05d}_fine_depth_{f:05d}.png"),
-                    t[..., None],
-                )
-        errs = native.wait_writes()
-        if errs:
-            raise IOError(f"{errs} async png writes failed in {out_dir}")
+        from tgtc.train.render_style import render_stylized_frames_fused
+
+        render_stylized_frames_fused(
+            rend, ro, rd, range(data.style_num), out_dir,
+            jax.random.PRNGKey(cfg.seed + 10), block=self._render_block,
+        )
 
     def render_plain(self, poses: str = "valid") -> str:
         """--render_valid / --render_train: plain NeRF renders

@@ -140,3 +140,87 @@ def render_stylized_views(
     errs = native.wait_writes()
     if errs:
         raise IOError(f"{errs} async png writes failed in {out_dir}")
+
+
+def render_stylized_frames_fused(
+    rend,                  # FusedStyleRenderer (tgtc.render.fast_style)
+    rays_o: jnp.ndarray,   # [V, H, W, 3]
+    rays_d: jnp.ndarray,
+    style_ids,             # iterable of style indices
+    out_dir: str,
+    key: jax.Array,
+    block: int = 16384,
+    skip_existing: bool = True,
+) -> int:
+    """Phase F on the fused Pallas style kernel, streamed: frame assembly
+    (block concat + clip + depth-normalize + uint8) happens ON DEVICE, the
+    host fetches two small uint8 arrays per frame, and frame N+1's blocks
+    are dispatched before frame N's fetch — so device compute overlaps
+    host PNG IO (this closed the round-2 gap of 8 end-to-end vs 19.6
+    compute frames/min). Returns the number of frames rendered.
+
+    Reference analog: ``render_style`` /root/reference/rendering.py:93-239
+    (chunked torch loop, fully serialized per chunk)."""
+    from tgtc.utils import native
+
+    os.makedirs(out_dir, exist_ok=True)
+    v, h, w, _ = rays_o.shape
+    n = h * w
+
+    @jax.jit
+    def finalize(rgbs, ts):
+        rgb = jnp.concatenate(rgbs, 0)[:n]
+        t = jnp.concatenate(ts, 0)[:n]
+        rgb8 = (jnp.clip(rgb, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+        t = (t - t.min()) / (t.max() - t.min() + 1e-7)
+        t8 = (t * 255.0 + 0.5).astype(jnp.uint8)
+        return rgb8.reshape(h, w, 3), t8.reshape(h, w, 1)
+
+    def dispatch_frame(s, f):
+        ro_f = jnp.reshape(rays_o[f], (-1, 3))
+        rd_f = jnp.reshape(rays_d[f], (-1, 3))
+        rgbs, ts = [], []
+        for start in range(0, n, block):
+            end = min(start + block, n)
+            bo, bd = ro_f[start:end], rd_f[start:end]
+            if end - start < block:
+                pad = block - (end - start)
+                bo = jnp.concatenate([bo, jnp.zeros((pad, 3))], 0)
+                bd = jnp.concatenate([bd, jnp.ones((pad, 3))], 0)
+            out = rend.render(
+                bo, bd,
+                jnp.full((block,), s, jnp.int32),
+                jnp.full((block,), f, jnp.int32),
+                jax.random.fold_in(jax.random.fold_in(key, f), start),
+            )
+            rgbs.append(out["rgb"][: end - start])
+            ts.append(out["t_exp"][: end - start])
+        return finalize(rgbs, ts)
+
+    def flush(entry):
+        path, dpath, rgb8, t8 = entry
+        native.write_png_async(path, np.asarray(rgb8))
+        native.write_png_async(dpath, np.asarray(t8))
+
+    rendered = 0
+    pending = None
+    for s in style_ids:
+        for f in range(v):
+            path = os.path.join(out_dir, f"style_{s:05d}_fine_{f:05d}.png")
+            if skip_existing and os.path.exists(path):
+                continue
+            rgb8, t8 = dispatch_frame(s, f)
+            if pending is not None:
+                flush(pending)
+            pending = (
+                path,
+                os.path.join(out_dir, f"style_{s:05d}_fine_depth_{f:05d}.png"),
+                rgb8, t8,
+            )
+            rendered += 1
+    if pending is not None:
+        flush(pending)
+    errs = native.wait_writes()
+    if errs:
+        raise IOError(f"{errs} async png writes failed in {out_dir}")
+    return rendered

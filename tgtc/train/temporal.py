@@ -47,6 +47,73 @@ class TemporalTrainConfig:
     splat_radius: float = 1.5
 
 
+def _stylize_and_warp(model, cfg, proj, h, w, is_ndc, focal,
+                      params, content, coor, cps, style, patch_origin, key,
+                      step):
+    """Shared C2 core: stylize the patch batch, splat view-0's stylized
+    point cloud into every view, crop back to the patch, and build the
+    warp-hit and occlusion masks. Used by both the train step (grads flow
+    through it) and the debug dump."""
+    y0, x0 = patch_origin
+    out = model.apply(
+        params, content, style, False,
+        method=model.compute_losses,
+        rngs={"dropout": jax.random.fold_in(key, step)},
+    )
+    ics = out["ics"]  # [B, h', w', 3]
+
+    coor_world = ndc_to_world(coor, h, w, focal) if is_ndc else coor
+    pcl = coor_world[0].reshape(-1, 3)
+    rgb0 = ics[0].reshape(-1, 3)
+    warped_rgb, warped_coor, mask = rasterize_warp(
+        pcl, rgb0, cps, proj, h, w, radius=cfg.splat_radius
+    )
+    ph, pw = content.shape[1], content.shape[2]
+    crop = lambda x: jax.lax.dynamic_slice(
+        x, (0, y0, x0, 0), (x.shape[0], ph, pw, x.shape[3])
+    )
+    warped_rgb, warped_coor, mask = (
+        crop(warped_rgb), crop(warped_coor), crop(mask)
+    )
+    dist2 = jnp.sum((warped_coor - coor_world) ** 2, -1, keepdims=True)
+    occl = (dist2 < cfg.space_dist_threshold ** 2).astype(ics.dtype)
+    return out, ics, warped_rgb, mask, occl
+
+
+def make_temporal_debug_fn(
+    model: StyTrans,
+    cfg: TemporalTrainConfig,
+    proj: jnp.ndarray,
+    h: int,
+    w: int,
+    is_ndc: bool = True,
+    focal: float = 1.0,
+):
+    """Jitted debug renderer matching the reference's end-of-C2 dumps
+    (/root/reference/train_style_modules.py:519-528): per view, the
+    stylized patch, view-0's stylization warped into that view, the
+    warp-hit mask, and the occlusion-distance mask — all uint8 [B,h',w',3].
+    """
+
+    @jax.jit
+    def debug(params, content, coor, cps, style, patch_origin, key):
+        _, ics, warped_rgb, mask, occl = _stylize_and_warp(
+            model, cfg, proj, h, w, is_ndc, focal,
+            params, content, coor, cps, style, patch_origin, key,
+            jnp.zeros((), jnp.int32),
+        )
+        u8 = lambda x: (jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+        b3 = lambda m: jnp.broadcast_to(m, m.shape[:-1] + (3,))
+        return {
+            "stylized_content": u8(ics),
+            "warped_stylized_content": u8(warped_rgb),
+            "warped_mask": u8(b3(mask)),
+            "coor_dist_msk": u8(b3(occl)),
+        }
+
+    return debug
+
+
 def make_temporal_train_step(
     model: StyTrans,
     cfg: TemporalTrainConfig,
@@ -74,31 +141,12 @@ def make_temporal_train_step(
 
     def step_fn(state: TransformerTrainState, content, coor, cps, style,
                 patch_origin, key):
-        y0, x0 = patch_origin
-
         def loss_fn(params):
-            out = model.apply(
-                params, content, style, False,
-                method=model.compute_losses,
-                rngs={"dropout": jax.random.fold_in(key, state.step)},
+            out, ics, warped_rgb, mask, occl = _stylize_and_warp(
+                model, cfg, proj, h, w, is_ndc, focal,
+                params, content, coor, cps, style, patch_origin, key,
+                state.step,
             )
-            ics = out["ics"]  # [B, h', w', 3]
-
-            coor_world = ndc_to_world(coor, h, w, focal) if is_ndc else coor
-            pcl = coor_world[0].reshape(-1, 3)
-            rgb0 = ics[0].reshape(-1, 3)
-            warped_rgb, warped_coor, mask = rasterize_warp(
-                pcl, rgb0, cps, proj, h, w, radius=cfg.splat_radius
-            )
-            ph, pw = content.shape[1], content.shape[2]
-            crop = lambda x: jax.lax.dynamic_slice(
-                x, (0, y0, x0, 0), (x.shape[0], ph, pw, x.shape[3])
-            )
-            warped_rgb, warped_coor, mask = (
-                crop(warped_rgb), crop(warped_coor), crop(mask)
-            )
-            dist2 = jnp.sum((warped_coor - coor_world) ** 2, -1, keepdims=True)
-            occl = (dist2 < cfg.space_dist_threshold ** 2).astype(ics.dtype)
             loss_t = cfg.temporal_weight * jnp.mean(
                 (ics - warped_rgb) ** 2 * mask * occl
             )

@@ -94,6 +94,25 @@ def init_transformer_train(
     )
 
 
+def make_collage_fn(model: StyTrans):
+    """Jitted C1 debug collage — the reference writes a
+    content/style/stylized grid every 100 iters
+    (/root/reference/trans_train.py:180-183, ``save_image(..., nrow=B)``).
+    Returns ``(params, content [B,P,P,3], style) → uint8 [3P, B·P, 3]``:
+    row 0 = content batch, row 1 = style batch, row 2 = stylized output."""
+
+    @jax.jit
+    def collage(params, content, style):
+        ics, _ = model.apply(params, content, style, method=model.stylize)
+        rows = [content, style, ics]
+        grid = jnp.concatenate(
+            [jnp.concatenate(list(r), axis=1) for r in rows], axis=0
+        )
+        return (jnp.clip(grid, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+    return collage
+
+
 def make_transformer_train_step(
     model: StyTrans,
     cfg: TransformerTrainConfig,
