@@ -172,6 +172,51 @@ class TestStyleTrainStep:
         state2, m2 = step(state, data, key)
         assert np.isfinite(float(m2["loss_coh"]))
 
+    def test_k_step_scan_matches_sequential(self):
+        """k_steps>1 (one lax.scan dispatch) must be bit-identical to the
+        same number of sequential single-step calls — the key schedule
+        folds state.step inside the step."""
+        key = jax.random.PRNGKey(3)
+        nerf_cfg = NerfConfig(depth=2, width=32, embed_freq_coor=2,
+                              embed_freq_dir=1, compute_dtype=jnp.float32)
+        ncm, npc = make_nerf(nerf_cfg, key)
+        nfm, npf = make_nerf(nerf_cfg, jax.random.fold_in(key, 1))
+        data = synthetic_style_scene(key, s=2, f=3, h=8, w=8)
+        cfg = StyleTrainConfig(batch_size=16, n_samples=4, n_samples_fine=4,
+                               sigma_noise_std=0.0, origin_step=0,
+                               llff_tile=False, dataset_type="synthetic")
+        field = StyleFieldConfig(style_d=4, width=32, latent_dim=8,
+                                 embed_dim=nerf_cfg.input_ch)
+        cm, sm, state = init_style_state(key, field, cfg, 2, 3)
+        k = 5
+        step = make_style_train_step(ncm, nfm, npc, npf, cm, sm, cfg)
+        scan = make_style_train_step(ncm, nfm, npc, npf, cm, sm, cfg,
+                                     k_steps=k)
+
+        # both fns donate their state arg — give each its own copy
+        state2 = jax.tree.map(jnp.copy, state)
+
+        seq = state
+        seq_metrics = []
+        for _ in range(k):
+            seq, m = step(seq, data, key)
+            seq_metrics.append(m)
+        chunk, ms = scan(state2, data, key)
+
+        assert int(chunk.step) == int(seq.step) == k
+        for name in ("loss", "loss_rgb", "loss_coh"):
+            np.testing.assert_array_equal(
+                np.asarray(ms[name]),
+                np.asarray([m[name] for m in seq_metrics]), err_msg=name,
+            )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            chunk.params, seq.params,
+        )
+        np.testing.assert_array_equal(np.asarray(chunk.coh_x),
+                                      np.asarray(seq.coh_x))
+
     def test_nerf_params_not_trained(self):
         """Gradients must not flow into the frozen NeRF (stop_gradient)."""
         key = jax.random.PRNGKey(0)

@@ -607,21 +607,42 @@ class Pipeline:
             self._style = (concat_model, style_model, sstate)
             return
 
+        # K steps per dispatch: Phase E's 256×2-ray batches are
+        # dispatch-latency-bound one step at a time (~20 steps/s round 2);
+        # scanning K steps in one launch amortizes it. Identical numerics
+        # (the per-step key folds state.step inside the step). CPU test
+        # mesh stays at K=1: its in-process collectives deadlock with
+        # queued work, and tiny tests use handfuls of steps anyway.
+        k = 1 if self._sync_every == 1 else 50
         step_fn = make_style_train_step(
             cm, fm, nstate.params_coarse, nstate.params_fine,
             concat_model, style_model, scfg, mesh=self.mesh,
         )
+        chunk_fn = step_fn if k == 1 else make_style_train_step(
+            cm, fm, nstate.params_coarse, nstate.params_fine,
+            concat_model, style_model, scfg, mesh=self.mesh, k_steps=k,
+        )
         key = jax.random.PRNGKey(cfg.seed + 9)
         step = int(sstate.step)
+        last_log = last_ckpt = last_sync = step
         while step < cfg.total_step:
-            sstate, metrics = step_fn(sstate, data, key)
-            step += 1
-            if step % self._sync_every == 0:
+            if k > 1 and cfg.total_step - step >= k:
+                sstate, ms = chunk_fn(sstate, data, key)
+                metrics = jax.tree.map(lambda x: x[-1], ms)
+                step += k
+            else:
+                sstate, metrics = step_fn(sstate, data, key)
+                step += 1
+            if (step - last_sync >= max(self._sync_every, 2 * k)
+                    or step >= cfg.total_step):
                 jax.block_until_ready(metrics["loss"])
-            if step % cfg.i_print == 0:
+                last_sync = step
+            if step // cfg.i_print > last_log // cfg.i_print:
                 self.log.log(step, metrics, prefix="STYLE TRAIN")
-            if step % 500 == 0 or step >= cfg.total_step:
+                last_log = step
+            if step // 500 > last_ckpt // 500 or step >= cfg.total_step:
                 self.style_ckpt.save(step, jax.device_get(sstate))
+                last_ckpt = step
         self._style = (concat_model, style_model, sstate)
 
     # ------------------------------------------------------------- phase F

@@ -154,13 +154,23 @@ def make_style_train_step(
     style_model: StyleMLPWildMultilayers,
     cfg: StyleTrainConfig,
     mesh=None,
+    k_steps: int = 1,
 ):
     """Build the jitted Phase-E step:
     ``(state, data: StyleSceneData, key) -> (state, metrics)``.
 
     With ``mesh``, both gathered ray streams shard over the ``data`` axis
     (params replicated; XLA inserts the grad psum) — the multi-chip analog
-    of the reference's single-process training."""
+    of the reference's single-process training.
+
+    With ``k_steps > 1`` the returned function runs K steps per dispatch
+    via ``lax.scan`` (metrics come back stacked ``[K]``). The per-step key
+    schedule folds ``state.step`` INSIDE the step, so a K-scan with one
+    key is bit-identical to K sequential calls with that key — the
+    reference's per-iteration Python loop (256×2-ray batches,
+    /root/reference/train_tgtcs.py:345-501) is dispatch-latency-bound on
+    an accelerator (~20 steps/s measured round 2); amortizing the launch
+    over K steps is what lifts it."""
     tx = make_style_optimizer(cfg)
 
     def shard(batch):
@@ -305,4 +315,13 @@ def make_style_train_step(
         }
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    if k_steps == 1:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def scan_fn(state: StyleTrainState, data: StyleSceneData, key: jax.Array):
+        def body(st, _):
+            return step_fn(st, data, key)
+
+        return jax.lax.scan(body, state, None, length=k_steps)
+
+    return jax.jit(scan_fn, donate_argnums=(0,))
