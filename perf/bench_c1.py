@@ -33,6 +33,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--workdir", default="/tmp/tgtc_c1_bench")
+    ap.add_argument("--f32", action="store_true",
+                    help="force f32 compute (default: bf16, the TPU "
+                         "production setting)")
     args = ap.parse_args()
 
     # a dir of real 512x512 jpgs to decode
@@ -50,8 +53,13 @@ def main():
             ).save(p, quality=92)
         paths.append(p)
 
+    from tgtc.models.transformer import TransformerConfig
+
     tcfg = TransformerTrainConfig()
-    model, params = make_stytrans(jax.random.PRNGKey(0), image_size=tcfg.patch)
+    mcfg = TransformerConfig(
+        dtype=jnp.float32 if args.f32 else jnp.bfloat16)
+    model, params = make_stytrans(jax.random.PRNGKey(0), mcfg,
+                                  image_size=tcfg.patch)
     state = init_transformer_train(params, tcfg)
     step_fn = make_transformer_train_step(model, tcfg)
     key = jax.random.PRNGKey(1)
@@ -86,6 +94,7 @@ def main():
     stall = max(0.0, (full - dev) / full)
     print(json.dumps({
         "metric": "c1_step_seconds",
+        "dtype": "f32" if args.f32 else "bf16",
         "device_only": round(dev, 4),
         "with_prefetched_decode": round(full, 4),
         "host_stall_fraction": round(stall, 4),

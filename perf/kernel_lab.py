@@ -115,28 +115,35 @@ def kernel_v1(pts_ref, dirs_ref, w1_ref, w2_ref, enc_ref, rgb_ref, sigma_ref):
     sigma_ref[:] = sigma.astype(sigma_ref.dtype)
 
 
-def kernel_v2(pts_ref, dirs_ref, w1_ref, w2_ref, enc_ref, rgb_ref, sigma_ref):
-    """Two independent half-tiles: gives Mosaic's scheduler parallel
-    dependency chains so epilogues of one half overlap matmuls of the
-    other."""
-    f32 = jnp.float32
+def _make_split_kernel(n_chunks: int):
+    """N independent sub-tiles: gives Mosaic's scheduler parallel
+    dependency chains so epilogues of one chunk overlap matmuls of
+    another."""
 
-    def mm(a, b):
-        return jnp.dot(a, b, preferred_element_type=f32)
+    def kernel(pts_ref, dirs_ref, w1_ref, w2_ref, enc_ref, rgb_ref,
+               sigma_ref):
+        f32 = jnp.float32
 
-    t = pts_ref.shape[1] // 2
-    w1, w2, enc = w1_ref[:], w2_ref[:], enc_ref[:]
-    outs = []
-    for sl in (slice(0, t), slice(t, 2 * t)):
-        pts = pts_ref[:, sl].astype(f32)
-        dirs = dirs_ref[:, sl].astype(f32)
-        e_c, e_d = _encode(mm, enc, pts, dirs)
-        h, br = _trunk_body(mm, w1, e_c)
-        outs.append(_heads(mm, w2, h, br, e_d))
-    rgb_ref[:, :t] = outs[0][0].astype(rgb_ref.dtype)
-    rgb_ref[:, t:] = outs[1][0].astype(rgb_ref.dtype)
-    sigma_ref[:, :t] = outs[0][1].astype(sigma_ref.dtype)
-    sigma_ref[:, t:] = outs[1][1].astype(sigma_ref.dtype)
+        def mm(a, b):
+            return jnp.dot(a, b, preferred_element_type=f32)
+
+        t = pts_ref.shape[1] // n_chunks
+        w1, w2, enc = w1_ref[:], w2_ref[:], enc_ref[:]
+        for c in range(n_chunks):
+            sl = slice(c * t, (c + 1) * t)
+            pts = pts_ref[:, sl].astype(f32)
+            dirs = dirs_ref[:, sl].astype(f32)
+            e_c, e_d = _encode(mm, enc, pts, dirs)
+            h, br = _trunk_body(mm, w1, e_c)
+            rgb, sigma = _heads(mm, w2, h, br, e_d)
+            rgb_ref[:, sl] = rgb.astype(rgb_ref.dtype)
+            sigma_ref[:, sl] = sigma.astype(sigma_ref.dtype)
+
+    return kernel
+
+
+kernel_v2 = _make_split_kernel(2)
+kernel_v3 = _make_split_kernel(4)
 
 
 def ceiling_kernel(x_ref, w_ref, out_ref):
@@ -148,6 +155,20 @@ def ceiling_kernel(x_ref, w_ref, out_ref):
         h = jnp.dot(w[:, i * 256:(i + 1) * 256], h,
                     preferred_element_type=f32).astype(bf16)
     out_ref[:] = h.astype(out_ref.dtype)
+
+
+def ceiling_split_kernel(x_ref, w_ref, out_ref):
+    """Same chain, two independent half-tiles — measures how much of the
+    ceiling gap is MXU pipeline drain on the serial layer chain."""
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    w = w_ref[:]
+    t = x_ref.shape[1] // 2
+    for sl in (slice(0, t), slice(t, 2 * t)):
+        h = x_ref[:, sl]
+        for i in range(8):
+            h = jnp.dot(w[:, i * 256:(i + 1) * 256], h,
+                        preferred_element_type=f32).astype(bf16)
+        out_ref[:, sl] = h.astype(out_ref.dtype)
 
 
 def run_variant(kernel_fn, w1, w2, enc, pts_t, dirs_t, tile):
@@ -177,23 +198,24 @@ def run_variant(kernel_fn, w1, w2, enc, pts_t, dirs_t, tile):
     )(pts_t, dirs_t, w1, w2, enc)
 
 
-def timeit(fn, *args, reps=30):
-    out = fn(*args)
-    acc = jax.jit(lambda o: sum(jnp.sum(x) for x in jax.tree.leaves(o)))
-    float(np.asarray(acc(out)))
+def timeit(fn, *args, reps=8):
+    # exact tile_sweep protocol: single jitted fold into a carried scalar,
+    # fetch once (the tunneled platform mis-times other shapes of loop)
+    fold = jax.jit(lambda acc, o: acc + jnp.sum(jax.tree.leaves(o)[0]))
+    acc = fold(jnp.zeros(()), fn(*args))
+    float(np.asarray(acc))
+    acc = jnp.zeros(())
     t0 = time.perf_counter()
-    a = jnp.zeros(())
     for _ in range(reps):
-        out = fn(*args)
-        a = a + acc(out)
-    float(np.asarray(a))
+        acc = fold(acc, fn(*args))
+    float(np.asarray(acc))
     return (time.perf_counter() - t0) / reps
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tile", type=int, default=4096)
-    ap.add_argument("--points", type=int, default=1 << 20)
+    ap.add_argument("--points", type=int, default=1 << 21)
     args = ap.parse_args()
     tile, p = args.tile, args.points
 
@@ -209,17 +231,25 @@ def main():
 
     results = {}
 
+    ref = fused_nerf_apply_t(w1, w2, enc, pts_t[:, :tile], dirs_t[:, :tile],
+                             tile=tile)
     t0 = timeit(functools.partial(fused_nerf_apply_t, tile=tile),
                 w1, w2, enc, pts_t, dirs_t)
     results["v0_prod"] = p / t0 / 1e6
+    print("v0:", results["v0_prod"], file=sys.stderr, flush=True)
 
-    for name, kfn in (("v1_bf16acc", kernel_v1), ("v2_dual", kernel_v2)):
+    for name, kfn in (("v2_dual", kernel_v2), ("v3_quad", kernel_v3)):
         try:
             fn = jax.jit(functools.partial(run_variant, kfn, tile=tile))
+            # correctness vs production on one tile
+            got = fn(w1, w2, enc, pts_t[:, :tile], dirs_t[:, :tile])
+            err = float(jnp.max(jnp.abs(got[0] - ref[0])))
+            assert err < 1e-5, f"{name} rgb mismatch {err}"
             t = timeit(fn, w1, w2, enc, pts_t, dirs_t)
             results[name] = p / t / 1e6
         except Exception as e:
             results[name] = f"FAILED: {type(e).__name__}: {str(e)[:120]}"
+        print(name, results[name], file=sys.stderr, flush=True)
 
     # matmul-only ceiling at the same tile
     wc = jnp.asarray(rng.standard_normal((256, 8 * 256)).astype(np.float32),
@@ -227,9 +257,9 @@ def main():
     x = jnp.asarray(rng.standard_normal((256, p // 4)).astype(np.float32),
                     jnp.bfloat16)
 
-    def ceil_fn(wc, x):
+    def ceil_fn(wc, x, kern=ceiling_kernel):
         return pl.pallas_call(
-            ceiling_kernel,
+            kern,
             grid=(x.shape[1] // tile,),
             in_specs=[
                 pl.BlockSpec((256, tile), lambda i: (0, i),
@@ -242,9 +272,14 @@ def main():
             out_shape=jax.ShapeDtypeStruct((256, x.shape[1]), jnp.bfloat16),
         )(x, wc)
 
-    tc = timeit(jax.jit(ceil_fn), wc, x)
-    ceil_tflops = 8 * 2 * 256 * 256 * (p // 4) / tc / 1e12
-    results["ceiling_tflops"] = ceil_tflops
+    for cname, ck in (("ceiling_tflops", ceiling_kernel),
+                      ("ceiling_split_tflops", ceiling_split_kernel)):
+        try:
+            tc = timeit(jax.jit(functools.partial(ceil_fn, kern=ck)), wc, x)
+            results[cname] = 8 * 2 * 256 * 256 * (p // 4) / tc / 1e12
+        except Exception as e:
+            results[cname] = f"FAILED: {type(e).__name__}"
+        print(cname, results[cname], file=sys.stderr, flush=True)
 
     results = {k: (round(v, 1) if isinstance(v, float) else v)
                for k, v in results.items()}

@@ -38,13 +38,17 @@ def upsample_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
 
 
 class Decoder(nn.Module):
+    # computation dtype (params stay f32); see VggEncoder.dtype
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         n = len(_LAYERS)
         for i, (name, ch, up) in enumerate(_LAYERS):
             if up:
                 x = upsample_nearest(x)
-            x = nn.Conv(ch, (3, 3), padding="VALID", name=name)(reflect_pad(x))
+            x = nn.Conv(ch, (3, 3), padding="VALID", name=name,
+                        dtype=self.dtype)(reflect_pad(x))
             if i < n - 1:
                 x = nn.relu(x)
         return x

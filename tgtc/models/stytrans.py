@@ -41,10 +41,11 @@ class StyTrans(nn.Module):
     cfg: TransformerConfig = TransformerConfig()
 
     def setup(self):
-        self.vgg = VggEncoder()
-        self.embedding = PatchEmbed(embed_dim=self.cfg.d_model)
+        self.vgg = VggEncoder(dtype=self.cfg.dtype)
+        self.embedding = PatchEmbed(embed_dim=self.cfg.d_model,
+                                    dtype=self.cfg.dtype)
         self.transformer = StyleTransformer(self.cfg)
-        self.decode = Decoder()
+        self.decode = Decoder(dtype=self.cfg.dtype)
 
     def _transform(self, content, style, deterministic=True,
                    pos_mode="ics"):
@@ -52,7 +53,9 @@ class StyTrans(nn.Module):
         c_tok = self.embedding(content)
         hs = self.transformer(s_tok, c_tok, deterministic=deterministic,
                               pos_mode=pos_mode)
-        return self.decode(hs), hs
+        # outputs are f32 regardless of the internal compute dtype
+        return (self.decode(hs).astype(jnp.float32),
+                hs.astype(jnp.float32))
 
     def __call__(self, content, style, deterministic: bool = True):
         return self._transform(content, style, deterministic)
@@ -66,11 +69,12 @@ class StyTrans(nn.Module):
 
     def compute_losses(self, content: jnp.ndarray, style: jnp.ndarray,
                        deterministic: bool = False) -> Dict[str, jnp.ndarray]:
-        content_feats = self.vgg(content)
-        style_feats = self.vgg(style)
+        f32 = lambda feats: [f.astype(jnp.float32) for f in feats]
+        content_feats = f32(self.vgg(content))
+        style_feats = f32(self.vgg(style))
 
         ics, _ = self._transform(content, style, deterministic)
-        ics_feats = self.vgg(ics)
+        ics_feats = f32(self.vgg(ics))
 
         loss_c = mse(
             mean_variance_norm(ics_feats[-1]),
@@ -96,8 +100,8 @@ class StyTrans(nn.Module):
                                  pos_mode="iss")
         l_id1 = mse(icc, content) + mse(iss, style)
 
-        icc_feats = self.vgg(icc)
-        iss_feats = self.vgg(iss)
+        icc_feats = f32(self.vgg(icc))
+        iss_feats = f32(self.vgg(iss))
         l_id2 = jnp.zeros(())
         for i in range(5):
             l_id2 = (

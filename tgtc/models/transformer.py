@@ -40,6 +40,10 @@ class TransformerConfig:
     num_decoder_layers: int = 3
     dim_feedforward: int = 2048
     dropout: float = 0.1
+    # computation dtype for the dense/conv matmuls (params stay f32;
+    # softmax and LayerNorm statistics stay f32). bf16 doubles the MXU
+    # rate on TPU; default f32 preserves bit-parity with torch.
+    dtype: Any = jnp.float32
 
 
 class PatchEmbed(nn.Module):
@@ -48,6 +52,7 @@ class PatchEmbed(nn.Module):
 
     embed_dim: int = 512
     patch_size: int = 8
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -57,6 +62,7 @@ class PatchEmbed(nn.Module):
             strides=(self.patch_size, self.patch_size),
             padding="VALID",
             name="proj",
+            dtype=self.dtype,
         )(x)
 
 
@@ -67,26 +73,30 @@ class MultiHeadAttention(nn.Module):
     d_model: int
     nhead: int
     dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, q, k, v, deterministic: bool = True):
         d_head = self.d_model // self.nhead
-        q_p = nn.Dense(self.d_model, name="q_proj")(q)
-        k_p = nn.Dense(self.d_model, name="k_proj")(k)
-        v_p = nn.Dense(self.d_model, name="v_proj")(v)
+        q_p = nn.Dense(self.d_model, name="q_proj", dtype=self.dtype)(q)
+        k_p = nn.Dense(self.d_model, name="k_proj", dtype=self.dtype)(k)
+        v_p = nn.Dense(self.d_model, name="v_proj", dtype=self.dtype)(v)
 
         def split(x):
             b, n, _ = x.shape
             return x.reshape(b, n, self.nhead, d_head).transpose(0, 2, 1, 3)
 
         qh, kh, vh = split(q_p), split(k_p), split(v_p)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / jnp.sqrt(d_head)
+        # logits/softmax in f32 regardless of compute dtype
+        attn = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                          preferred_element_type=jnp.float32)
+        attn = attn / jnp.sqrt(d_head).astype(jnp.float32)
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh)
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.d_model)
-        return nn.Dense(self.d_model, name="out_proj")(out)
+        return nn.Dense(self.d_model, name="out_proj", dtype=self.dtype)(out)
 
 
 class EncoderLayer(nn.Module):
@@ -98,19 +108,21 @@ class EncoderLayer(nn.Module):
         if pos is None:
             # fused qkv; NOTE v replaces src in the residual stream
             # (reference /root/reference/transformer.py:173-174)
-            qkv = nn.Dense(3 * cfg.d_model, use_bias=False, name="qkv")(src)
+            qkv = nn.Dense(3 * cfg.d_model, use_bias=False, name="qkv",
+                           dtype=cfg.dtype)(src)
             q, k, src = jnp.split(qkv, 3, axis=-1)
         else:
-            qk = nn.Dense(2 * cfg.d_model, use_bias=False, name="qk")(src)
+            qk = nn.Dense(2 * cfg.d_model, use_bias=False, name="qk",
+                          dtype=cfg.dtype)(src)
             q, k = jnp.split(qk, 2, axis=-1)
         attn_out = MultiHeadAttention(
-            cfg.d_model, cfg.nhead, cfg.dropout, name="self_attn"
+            cfg.d_model, cfg.nhead, cfg.dropout, cfg.dtype, name="self_attn"
         )(q, k, src, deterministic)
         src = src + nn.Dropout(cfg.dropout)(attn_out, deterministic=deterministic)
         src = nn.LayerNorm(name="norm1")(src)
-        ff = nn.Dense(cfg.dim_feedforward, name="linear1")(src)
+        ff = nn.Dense(cfg.dim_feedforward, name="linear1", dtype=cfg.dtype)(src)
         ff = nn.Dropout(cfg.dropout)(nn.relu(ff), deterministic=deterministic)
-        ff = nn.Dense(cfg.d_model, name="linear2")(ff)
+        ff = nn.Dense(cfg.d_model, name="linear2", dtype=cfg.dtype)(ff)
         src = src + nn.Dropout(cfg.dropout)(ff, deterministic=deterministic)
         return nn.LayerNorm(name="norm2")(src)
 
@@ -130,22 +142,22 @@ class DecoderLayer(nn.Module):
         # reference's DETR-modified "self"-attn
         # (/root/reference/transformer.py:245-250)
         a1 = MultiHeadAttention(
-            cfg.d_model, cfg.nhead, cfg.dropout, name="self_attn"
+            cfg.d_model, cfg.nhead, cfg.dropout, cfg.dtype, name="self_attn"
         )(with_pos(tgt, query_pos), with_pos(memory, pos), memory,
           deterministic)
         tgt = tgt + nn.Dropout(cfg.dropout)(a1, deterministic=deterministic)
         tgt = nn.LayerNorm(name="norm1")(tgt)
 
         a2 = MultiHeadAttention(
-            cfg.d_model, cfg.nhead, cfg.dropout, name="cross_attn"
+            cfg.d_model, cfg.nhead, cfg.dropout, cfg.dtype, name="cross_attn"
         )(with_pos(tgt, query_pos), with_pos(memory, pos), memory,
           deterministic)
         tgt = tgt + nn.Dropout(cfg.dropout)(a2, deterministic=deterministic)
         tgt = nn.LayerNorm(name="norm2")(tgt)
 
-        ff = nn.Dense(cfg.dim_feedforward, name="linear1")(tgt)
+        ff = nn.Dense(cfg.dim_feedforward, name="linear1", dtype=cfg.dtype)(tgt)
         ff = nn.Dropout(cfg.dropout)(nn.relu(ff), deterministic=deterministic)
-        ff = nn.Dense(cfg.d_model, name="linear2")(ff)
+        ff = nn.Dense(cfg.d_model, name="linear2", dtype=cfg.dtype)(ff)
         tgt = tgt + nn.Dropout(cfg.dropout)(ff, deterministic=deterministic)
         return nn.LayerNorm(name="norm3")(tgt)
 

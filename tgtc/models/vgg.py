@@ -67,6 +67,9 @@ class VggEncoder(nn.Module):
     """
 
     truncated: bool = True
+    # computation dtype for the convs (params stay f32). bf16 doubles the
+    # MXU rate on TPU; the default stays f32 for bit-parity with torch.
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
@@ -83,12 +86,11 @@ class VggEncoder(nn.Module):
                 name, ch = op
                 if first:
                     # 1x1 RGB remap conv, no padding, no relu
-                    x = nn.Conv(ch, (1, 1), name=name)(x)
+                    x = nn.Conv(ch, (1, 1), name=name, dtype=self.dtype)(x)
                     first = False
                 else:
-                    x = nn.Conv(ch, (3, 3), padding="VALID", name=name)(
-                        reflect_pad(x)
-                    )
+                    x = nn.Conv(ch, (3, 3), padding="VALID", name=name,
+                                dtype=self.dtype)(reflect_pad(x))
                     x = nn.relu(x)
             feats.append(x)
         return feats

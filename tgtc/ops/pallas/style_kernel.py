@@ -169,7 +169,12 @@ def pack_style_params(
 
 
 def _make_kernel(depth: int, skip: int, num_freq_coor: int, style_d: int,
-                 style_width: int, latent_dim: int, trunk_width: int):
+                 style_width: int, latent_dim: int, trunk_width: int,
+                 n_chunks: int = 2):
+    """``n_chunks`` splits the tile into independent sub-tiles so Mosaic
+    can overlap one chunk's VPU epilogues (sin/relu/sigmoid/cast) with
+    another's MXU matmuls (same trick as
+    tgtc.ops.pallas.nerf_mlp._make_kernel; identical math per point)."""
     ec = 6 * num_freq_coor
     in_c = 3 + ec
     width = style_width
@@ -184,94 +189,99 @@ def _make_kernel(depth: int, skip: int, num_freq_coor: int, style_d: int,
 
         enc = enc_ref[:]
         pmat_c, phase_c = enc[:ec, 0:3], enc[:ec, 3:4]
+        wt, ws, wsig = wt_ref[:], ws_ref[:], wsig_ref[:]
 
-        pts = pts_ref[:].astype(f32)  # [3, T]
-        e_c = jnp.concatenate(
-            [pts, jnp.sin(mm(pmat_c, pts) + phase_c)], axis=0
-        ).astype(bf16)  # [in_c, T]
+        def chunk_body(sl):
+            pts = pts_ref[:, sl].astype(f32)  # [3, T]
+            e_c = jnp.concatenate(
+                [pts, jnp.sin(mm(pmat_c, pts) + phase_c)], axis=0
+            ).astype(bf16)  # [in_c, T]
 
-        # ---------------- trunk
-        wt = wt_ref[:]
-        off = 0
+            # ---------------- trunk
+            off = 0
 
-        def take_t(cols, rows=tw):
-            nonlocal off
-            blk = wt[:rows, off : off + cols]
-            off += cols
-            return blk
+            def take_t(cols, rows=tw):
+                nonlocal off
+                blk = wt[:rows, off : off + cols]
+                off += cols
+                return blk
 
-        w0, b0 = take_t(in_c), take_t(1)
-        h = jnp.maximum(mm(w0, e_c) + b0.astype(f32), 0.0).astype(bf16)
-        for i in range(1, depth):
-            if i == skip + 1:
-                wx, wh, b = take_t(in_c), take_t(tw), take_t(1)
-                h = mm(wh, h) + mm(wx, e_c) + b.astype(f32)
-            else:
-                wh, b = take_t(tw), take_t(1)
-                h = mm(wh, h) + b.astype(f32)
-            h = jnp.maximum(h, 0.0).astype(bf16)
+            w0, b0 = take_t(in_c), take_t(1)
+            h = jnp.maximum(mm(w0, e_c) + b0.astype(f32), 0.0).astype(bf16)
+            for i in range(1, depth):
+                if i == skip + 1:
+                    wx, wh, b = take_t(in_c), take_t(tw), take_t(1)
+                    h = mm(wh, h) + mm(wx, e_c) + b.astype(f32)
+                else:
+                    wh, b = take_t(tw), take_t(1)
+                    h = mm(wh, h) + b.astype(f32)
+                h = jnp.maximum(h, 0.0).astype(bf16)
 
-        wsig = wsig_ref[:]
-        sigma = mm(wsig[:1, :tw], h) + wsig[:1, tw:].astype(f32)
+            sigma = mm(wsig[:1, :tw], h) + wsig[:1, tw:].astype(f32)
 
-        wrm, brm = take_t(tw, rows=TRUNK_W), take_t(1, rows=TRUNK_W)
-        br = jnp.maximum(mm(wrm, h) + brm.astype(f32), 0.0).astype(bf16)
+            wrm, brm = take_t(tw, rows=TRUNK_W), take_t(1, rows=TRUNK_W)
+            br = jnp.maximum(mm(wrm, h) + brm.astype(f32), 0.0).astype(bf16)
 
-        # ---------------- style chain
-        lat = lat_ref[:].astype(bf16)              # [latent_dim, T]
-        lat_mean = jnp.mean(lat.astype(f32), axis=0, keepdims=True)  # [1, T]
+            # ---------------- style chain
+            lat = lat_ref[:, sl].astype(bf16)          # [latent_dim, T]
+            lat_mean = jnp.mean(lat.astype(f32), axis=0, keepdims=True)
 
-        ws = ws_ref[:]
-        soff = 0
+            soff = 0
 
-        def take_s(cols, r=width):
-            nonlocal soff
-            blk = ws[:r, soff : soff + cols]
-            soff += cols
-            return blk
+            def take_s(cols, r=width):
+                nonlocal soff
+                blk = ws[:r, soff : soff + cols]
+                soff += cols
+                return blk
 
-        # concat MLP
-        n_concat = min(style_d - 1, skip + 1)
-        cf = None
-        for i in range(n_concat):
-            if i == 0:
-                we, wl, b = take_s(in_c), take_s(latent_dim), take_s(1)
-                acc = mm(we, e_c) + mm(wl, lat) + b.astype(f32)
-            elif i == skip:
-                wh, wl, we, b = (take_s(width), take_s(latent_dim),
-                                 take_s(in_c), take_s(1))
-                acc = mm(wh, cf) + mm(wl, lat) + mm(we, e_c) + b.astype(f32)
-            else:
-                wh, wl, b = take_s(width), take_s(latent_dim), take_s(1)
-                acc = mm(wh, cf) + mm(wl, lat) + b.astype(f32)
-            cf = jnp.maximum(acc, 0.0).astype(bf16)
+            # concat MLP
+            n_concat = min(style_d - 1, skip + 1)
+            cf = None
+            for i in range(n_concat):
+                if i == 0:
+                    we, wl, b = take_s(in_c), take_s(latent_dim), take_s(1)
+                    acc = mm(we, e_c) + mm(wl, lat) + b.astype(f32)
+                elif i == skip:
+                    wh, wl, we, b = (take_s(width), take_s(latent_dim),
+                                     take_s(in_c), take_s(1))
+                    acc = mm(wh, cf) + mm(wl, lat) + mm(we, e_c) + b.astype(f32)
+                else:
+                    wh, wl, b = take_s(width), take_s(latent_dim), take_s(1)
+                    acc = mm(wh, cf) + mm(wl, lat) + b.astype(f32)
+                cf = jnp.maximum(acc, 0.0).astype(bf16)
 
-        # style MLP (latent = rank-1 scalar-mean term)
-        s = None
-        for i in range(style_d - 1):
-            if i == 0:
-                wbr, wcf, wx, wls, b = (take_s(TRUNK_W), take_s(width),
-                                        take_s(in_c), take_s(1), take_s(1))
-                acc = (mm(wbr, br) + mm(wcf, cf) + mm(wx, e_c)
-                       + wls.astype(f32) * lat_mean + b.astype(f32))
-            elif i == skip:
-                wh, wls, wx, b = (take_s(width), take_s(1), take_s(in_c),
-                                  take_s(1))
-                acc = (mm(wh, s) + wls.astype(f32) * lat_mean
-                       + mm(wx, e_c) + b.astype(f32))
-            else:
-                wh, wls, b = take_s(width), take_s(1), take_s(1)
-                acc = mm(wh, s) + wls.astype(f32) * lat_mean + b.astype(f32)
-            s = jnp.maximum(acc, 0.0).astype(bf16)
+            # style MLP (latent = rank-1 scalar-mean term)
+            s = None
+            for i in range(style_d - 1):
+                if i == 0:
+                    wbr, wcf, wx, wls, b = (take_s(TRUNK_W), take_s(width),
+                                            take_s(in_c), take_s(1), take_s(1))
+                    acc = (mm(wbr, br) + mm(wcf, cf) + mm(wx, e_c)
+                           + wls.astype(f32) * lat_mean + b.astype(f32))
+                elif i == skip:
+                    wh, wls, wx, b = (take_s(width), take_s(1), take_s(in_c),
+                                      take_s(1))
+                    acc = (mm(wh, s) + wls.astype(f32) * lat_mean
+                           + mm(wx, e_c) + b.astype(f32))
+                else:
+                    wh, wls, b = take_s(width), take_s(1), take_s(1)
+                    acc = mm(wh, s) + wls.astype(f32) * lat_mean + b.astype(f32)
+                s = jnp.maximum(acc, 0.0).astype(bf16)
 
-        wo, wol, bo = take_s(width, r=max(width, TRUNK_W)), take_s(1), take_s(1)
-        rgb = jax.nn.sigmoid(
-            mm(wo[:3], s) + wol[:3].astype(f32) * lat_mean
-            + bo[:3].astype(f32)
-        )
+            wo, wol, bo = (take_s(width, r=max(width, TRUNK_W)), take_s(1),
+                           take_s(1))
+            rgb = jax.nn.sigmoid(
+                mm(wo[:3], s) + wol[:3].astype(f32) * lat_mean
+                + bo[:3].astype(f32)
+            )
 
-        rgb_ref[:] = rgb.astype(rgb_ref.dtype)
-        sigma_ref[:] = sigma.astype(sigma_ref.dtype)
+            rgb_ref[:, sl] = rgb.astype(rgb_ref.dtype)
+            sigma_ref[:, sl] = sigma.astype(sigma_ref.dtype)
+
+        tile = pts_ref.shape[1]
+        chunks = n_chunks if tile % n_chunks == 0 else 1
+        for c in range(chunks):
+            chunk_body(slice(c * (tile // chunks), (c + 1) * (tile // chunks)))
 
     return kernel
 

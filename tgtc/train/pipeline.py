@@ -102,7 +102,14 @@ class Pipeline:
             siren_sigma_mul=cfg.siren_sigma_mul,
         )
         # override for tests / small runs before calling phase methods
-        self.trans_cfg = TransformerConfig()
+        # bf16 compute for the 2D stack on accelerators (params/losses/
+        # softmax/LayerNorm stats stay f32) — the VGG+transformer C1 step
+        # is MXU-bound and bf16 doubles the MXU rate. CPU (tests/parity)
+        # keeps f32.
+        self.trans_cfg = TransformerConfig(
+            dtype=jnp.bfloat16 if jax.default_backend() != "cpu"
+            else jnp.float32,
+        )
         self.vae_iters = 2000
         self.vae_patch = 256
         self.gen_dir = os.path.join(self.exp_dir, "nerf_gen_data2")
