@@ -24,6 +24,7 @@ from tgtc.data.prefetch import CropBatchPrefetcher
 from tgtc.models.stytrans import make_stytrans
 from tgtc.train.transformer2d import (
     TransformerTrainConfig,
+    dropout_key,
     init_transformer_train,
     make_transformer_train_step,
 )
@@ -62,7 +63,7 @@ def main():
                                   image_size=tcfg.patch)
     state = init_transformer_train(params, tcfg)
     step_fn = make_transformer_train_step(model, tcfg)
-    key = jax.random.PRNGKey(1)
+    key = dropout_key(1)
 
     batch = jnp.asarray(
         rng.uniform(size=(tcfg.batch_size, tcfg.patch, tcfg.patch, 3)),

@@ -77,3 +77,49 @@ def test_bf16_gradients_flow_and_are_finite():
         before["params"]["transformer"],
     )
     assert max(jax.tree.leaves(moved)) > 0.0
+
+
+def test_bf16_attention_dropout_u8_statistics():
+    """The bf16 attention path draws its probs-dropout mask from uint8
+    hardware-RNG bits (keep-prob quantized to 1/256, scale uses the exact
+    quantized value). Check: output mean is preserved (unbiasedness) and
+    the drop fraction matches the quantized rate."""
+    from tgtc.models.transformer import MultiHeadAttention
+
+    rate = 0.1
+    mha = MultiHeadAttention(32, 2, rate, jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (4, 64, 32))
+    params = mha.init({"params": key}, x, x, x, True)
+
+    det = mha.apply(params, x, x, x, True)
+    runs = [
+        np.asarray(
+            mha.apply(params, x, x, x, False,
+                      rngs={"dropout": jax.random.PRNGKey(100 + i)}),
+            np.float32,
+        )
+        for i in range(8)
+    ]
+    avg = np.mean(runs, axis=0)
+    # dropout-averaged output approaches the deterministic one
+    assert np.mean(np.abs(avg - np.asarray(det, np.float32))) < 0.05
+    # and individual runs genuinely differ (dropout is live)
+    assert np.max(np.abs(runs[0] - runs[1])) > 1e-3
+
+
+def test_dropout_key_impls():
+    import os
+
+    from tgtc.train.transformer2d import dropout_key
+
+    k = dropout_key(7)
+    assert jax.random.bits(k, (4,), jnp.uint32).shape == (4,)
+    os.environ["TGTC_THREEFRY_DROPOUT"] = "1"
+    try:
+        k2 = dropout_key(7)
+        ref = jax.random.PRNGKey(7)
+        assert np.array_equal(
+            jax.random.key_data(k2), np.asarray(ref))
+    finally:
+        del os.environ["TGTC_THREEFRY_DROPOUT"]

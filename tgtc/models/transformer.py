@@ -30,6 +30,7 @@ from typing import Any, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,12 +88,36 @@ class MultiHeadAttention(nn.Module):
             return x.reshape(b, n, self.nhead, d_head).transpose(0, 2, 1, 3)
 
         qh, kh, vh = split(q_p), split(k_p), split(v_p)
-        # logits/softmax in f32 regardless of compute dtype
-        attn = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
-                          preferred_element_type=jnp.float32)
-        attn = attn / jnp.sqrt(d_head).astype(jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        if self.dtype == jnp.bfloat16:
+            # TPU fast path: the [B,H,S,S] logits/probs are the step's
+            # dominant HBM traffic (268 MB in f32 at S=1024 ×27 attention
+            # sites per C1 step). Materialize them in bf16 — softmax
+            # statistics still run in f32 *inside* the fusion — and draw
+            # the attention-probs dropout mask from uint8 hardware-RNG
+            # bits (4× less RNG traffic than bernoulli's uint32 draw).
+            # The keep-probability quantizes to 1/256 steps; the scale
+            # uses the exact quantized value so E[probs] stays unbiased
+            # (round-3 bisect, BASELINE.md).
+            attn = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                              preferred_element_type=jnp.bfloat16)
+            attn = attn * jnp.bfloat16(1.0 / np.sqrt(d_head))
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+            attn = attn.astype(jnp.bfloat16)
+            if not deterministic and self.dropout > 0.0:
+                thr = int(round(self.dropout * 256.0))
+                keep = 1.0 - thr / 256.0
+                bits = jax.random.bits(
+                    self.make_rng("dropout"), attn.shape, dtype=jnp.uint8)
+                attn = jnp.where(bits >= jnp.uint8(thr),
+                                 attn * jnp.bfloat16(1.0 / keep),
+                                 jnp.bfloat16(0.0))
+        else:
+            # logits/softmax in f32 — bit-parity reference path
+            attn = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                              preferred_element_type=jnp.float32)
+            attn = attn / jnp.sqrt(d_head).astype(jnp.float32)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh)
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.d_model)

@@ -318,6 +318,7 @@ class Pipeline:
         )
         from tgtc.train.transformer2d import (
             TransformerTrainConfig,
+            dropout_key,
             init_transformer_train,
             make_transformer_train_step,
         )
@@ -352,7 +353,7 @@ class Pipeline:
             collage_fn = make_collage_fn(model)
             collage_dir = os.path.join(self.exp_dir, "test")
             os.makedirs(collage_dir, exist_ok=True)
-            key = jax.random.PRNGKey(cfg.seed + 3)
+            key = dropout_key(cfg.seed + 3)
             # overlapped host decode (the reference's DataLoader workers,
             # /root/reference/trans_train.py:134-141)
             workers = cfg.num_workers or 4  # reference --num_workers
@@ -405,7 +406,7 @@ class Pipeline:
         c2state = _init(tstate.params, TransformerTrainConfig(lr=ccfg.lr),
                         train_keys=("decode",))
         c2state = c2state.replace(step=jnp.zeros((), jnp.int32))
-        key = jax.random.PRNGKey(cfg.seed + 4)
+        key = dropout_key(cfg.seed + 4)
         patch = min(ccfg.patch, h, w)
         for i in range(ccfg.max_iter):
             y0, x0 = sample_patch(rng, h, w, patch)

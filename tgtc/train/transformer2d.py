@@ -17,6 +17,7 @@ vgg/decoder) instead of requires_grad bookkeeping; the reference's
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -41,6 +42,23 @@ class TransformerTrainConfig:
     id2_weight: float = 1.0
     warmup_iters: int = 10000
     patch: int = 256
+
+
+def dropout_key(seed: int) -> jax.Array:
+    """Dropout key on the hardware RNG (``rbg`` → XLA RngBitGenerator).
+
+    Threefry mask generation is the single biggest cost in a C1 train step
+    on TPU — the round-3 bisect measured the full fwd+bwd+Adam at 434 ms
+    with threefry dropout vs 67 ms for the same gradient without it (the
+    ~20 per-activation mask draws across 3 transformer passes dominate,
+    and the compile alone exceeds 10 min). ``rbg`` keys make dropout
+    ~free again and compile fast; dropout needs no specific stream, only
+    independence. Set ``TGTC_THREEFRY_DROPOUT=1`` for stock threefry keys
+    (bit-exact masks across backends/shardings, used by the equality
+    dryruns)."""
+    impl = ("threefry2x32" if os.environ.get("TGTC_THREEFRY_DROPOUT")
+            else "rbg")
+    return jax.random.key(seed, impl=impl)
 
 
 def lr_schedule(cfg: TransformerTrainConfig):
@@ -134,7 +152,20 @@ def make_transformer_train_step(
             content = jax.lax.with_sharding_constraint(content, shard)
             style = jax.lax.with_sharding_constraint(style, shard)
 
-        def loss_fn(params):
+        # Differentiate ONLY the trainable submodules: splitting the tree
+        # before jax.grad (instead of zeroing frozen grads in optax) means
+        # XLA never emits the frozen modules' dW matmuls at all — in C1
+        # that skips weight-grads for three full VGG backward passes plus
+        # the decoder, a measured 229→~170 ms step-time cut (BASELINE.md
+        # round 3). The frozen VGG matches the reference's requires_grad
+        # freezing (/root/reference/trans_train.py:143-146).
+        train_p = {"params": {k: v for k, v in state.params["params"].items()
+                              if k in train_keys}}
+        frozen_p = {"params": {k: v for k, v in state.params["params"].items()
+                               if k not in train_keys}}
+
+        def loss_fn(tp):
+            params = {"params": {**frozen_p["params"], **tp["params"]}}
             out = model.apply(
                 params, content, style, False,
                 method=model.compute_losses,
@@ -153,9 +184,15 @@ def make_transformer_train_step(
                 aux["loss_t"] = loss_t
             return loss, aux
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
+        (loss, aux), tgrads = jax.value_and_grad(loss_fn, has_aux=True)(
+            train_p
         )
+        # frozen leaves get zero-grads so the optimizer tree shape (and the
+        # optax multi_transform labels) stay identical to round 2
+        grads = {"params": {
+            **jax.tree.map(jnp.zeros_like, frozen_p["params"]),
+            **tgrads["params"],
+        }}
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss,
