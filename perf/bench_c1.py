@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--f32", action="store_true",
                     help="force f32 compute (default: bf16, the TPU "
                          "production setting)")
+    ap.add_argument("--attn", default="xla", choices=["xla", "flash"],
+                    help="attention implementation (flash = fused Pallas "
+                         "kernel with in-kernel dropout)")
     args = ap.parse_args()
 
     # a dir of real 512x512 jpgs to decode
@@ -58,7 +61,8 @@ def main():
 
     tcfg = TransformerTrainConfig()
     mcfg = TransformerConfig(
-        dtype=jnp.float32 if args.f32 else jnp.bfloat16)
+        dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+        attn_impl=args.attn)
     model, params = make_stytrans(jax.random.PRNGKey(0), mcfg,
                                   image_size=tcfg.patch)
     state = init_transformer_train(params, tcfg)
@@ -96,6 +100,7 @@ def main():
     print(json.dumps({
         "metric": "c1_step_seconds",
         "dtype": "f32" if args.f32 else "bf16",
+        "attn": args.attn,
         "device_only": round(dev, 4),
         "with_prefetched_decode": round(full, 4),
         "host_stall_fraction": round(stall, 4),

@@ -45,10 +45,11 @@ def timeit(fn, *args, reps=5):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--attn", default="xla", choices=["xla", "flash"])
     args = ap.parse_args()
     dt = jnp.float32 if args.f32 else jnp.bfloat16
 
-    mcfg = TransformerConfig(dtype=dt)
+    mcfg = TransformerConfig(dtype=dt, attn_impl=args.attn)
     tcfg = TransformerTrainConfig()
     model, params = make_stytrans(jax.random.PRNGKey(0), mcfg,
                                   image_size=tcfg.patch)
@@ -56,7 +57,7 @@ def main():
     x = jnp.asarray(rng.uniform(size=(8, 256, 256, 3)), jnp.float32)
     key = dropout_key(1)
 
-    res = {"dtype": "f32" if args.f32 else "bf16"}
+    res = {"dtype": "f32" if args.f32 else "bf16", "attn": args.attn}
 
     vgg_fwd = jax.jit(lambda p, a: model.apply(
         p, a, method=model.encode_pyramid))

@@ -45,6 +45,12 @@ class TransformerConfig:
     # softmax and LayerNorm statistics stay f32). bf16 doubles the MXU
     # rate on TPU; default f32 preserves bit-parity with torch.
     dtype: Any = jnp.float32
+    # "xla": einsum attention (bit-parity oracle, any backend).
+    # "flash": fused Pallas flash-attention kernel with in-kernel
+    # counter-hash dropout (tgtc.ops.pallas.flash_attention) — never
+    # materializes the [B,H,S,S] probs in HBM; auto-falls back to
+    # interpret mode off-TPU so tests exercise the same code path.
+    attn_impl: str = "xla"
 
 
 class PatchEmbed(nn.Module):
@@ -75,6 +81,7 @@ class MultiHeadAttention(nn.Module):
     nhead: int
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, q, k, v, deterministic: bool = True):
@@ -88,7 +95,22 @@ class MultiHeadAttention(nn.Module):
             return x.reshape(b, n, self.nhead, d_head).transpose(0, 2, 1, 3)
 
         qh, kh, vh = split(q_p), split(k_p), split(v_p)
-        if self.dtype == jnp.bfloat16:
+        if self.attn_impl == "flash":
+            from tgtc.ops.pallas.flash_attention import flash_attention
+
+            rate = 0.0 if deterministic else float(self.dropout)
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.bits(
+                    self.make_rng("dropout"), (), jnp.uint32
+                ).astype(jnp.int32)
+            out = flash_attention(
+                qh, kh, vh,
+                sm_scale=1.0 / float(np.sqrt(d_head)),
+                dropout_rate=rate, dropout_seed=seed,
+                interpret=jax.default_backend() != "tpu",
+            )
+        elif self.dtype == jnp.bfloat16:
             # TPU fast path: the [B,H,S,S] logits/probs are the step's
             # dominant HBM traffic (268 MB in f32 at S=1024 ×27 attention
             # sites per C1 step). Materialize them in bf16 — softmax
@@ -118,7 +140,8 @@ class MultiHeadAttention(nn.Module):
             attn = attn / jnp.sqrt(d_head).astype(jnp.float32)
             attn = jax.nn.softmax(attn, axis=-1)
             attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh)
+        if self.attn_impl != "flash":
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh)
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.d_model)
         return nn.Dense(self.d_model, name="out_proj", dtype=self.dtype)(out)
@@ -141,7 +164,8 @@ class EncoderLayer(nn.Module):
                           dtype=cfg.dtype)(src)
             q, k = jnp.split(qk, 2, axis=-1)
         attn_out = MultiHeadAttention(
-            cfg.d_model, cfg.nhead, cfg.dropout, cfg.dtype, name="self_attn"
+            cfg.d_model, cfg.nhead, cfg.dropout, cfg.dtype, cfg.attn_impl,
+            name="self_attn"
         )(q, k, src, deterministic)
         src = src + nn.Dropout(cfg.dropout)(attn_out, deterministic=deterministic)
         src = nn.LayerNorm(name="norm1")(src)
@@ -167,14 +191,16 @@ class DecoderLayer(nn.Module):
         # reference's DETR-modified "self"-attn
         # (/root/reference/transformer.py:245-250)
         a1 = MultiHeadAttention(
-            cfg.d_model, cfg.nhead, cfg.dropout, cfg.dtype, name="self_attn"
+            cfg.d_model, cfg.nhead, cfg.dropout, cfg.dtype, cfg.attn_impl,
+            name="self_attn"
         )(with_pos(tgt, query_pos), with_pos(memory, pos), memory,
           deterministic)
         tgt = tgt + nn.Dropout(cfg.dropout)(a1, deterministic=deterministic)
         tgt = nn.LayerNorm(name="norm1")(tgt)
 
         a2 = MultiHeadAttention(
-            cfg.d_model, cfg.nhead, cfg.dropout, cfg.dtype, name="cross_attn"
+            cfg.d_model, cfg.nhead, cfg.dropout, cfg.dtype, cfg.attn_impl,
+            name="cross_attn"
         )(with_pos(tgt, query_pos), with_pos(memory, pos), memory,
           deterministic)
         tgt = tgt + nn.Dropout(cfg.dropout)(a2, deterministic=deterministic)
