@@ -63,7 +63,8 @@ def main():
     settings = RenderSettings(n_samples=64, n_samples_fine=64,
                               sigma_noise_std=0.0)
     rend = FusedStyleRenderer.from_params(
-        pc, pf, cparams, sparams, lat, settings
+        pc, pf, cparams, sparams, lat, settings,
+        coarse_rgb=False,  # production Phase-F path: sigma-only coarse
     )
     print(f"[phase_f] params ready at +{time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)

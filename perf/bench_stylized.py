@@ -29,6 +29,13 @@ BLOCK = 16384
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coarse_rgb", action="store_true",
+                    help="run the full style chain on the coarse pass "
+                         "(pre-round-3 behavior); default is the "
+                         "production sigma-only coarse")
+    args = ap.parse_args()
     key = jax.random.PRNGKey(0)
     nerf_cfg = NerfConfig()
     _, _, state = init_state(key, nerf_cfg, NerfTrainConfig())
@@ -39,6 +46,7 @@ def main():
     rend = FusedStyleRenderer.from_params(
         state.params_coarse, state.params_fine, pcat, psty, lat,
         RenderSettings(n_samples=64, n_samples_fine=64, sigma_noise_std=0.0),
+        coarse_rgb=args.coarse_rgb,
     )
 
     ro = jax.random.uniform(key, (BLOCK, 3), minval=-1, maxval=1)
@@ -69,6 +77,7 @@ def main():
         "value": round(frames_per_min, 2),
         "unit": "frames/min",
         "rays_per_sec": round(reps * blocks_per_frame * BLOCK / dt, 1),
+        "coarse_rgb": args.coarse_rgb,
     }))
 
 

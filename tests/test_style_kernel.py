@@ -92,6 +92,42 @@ def test_fused_style_render_pipeline_coarse_parity():
     )
 
 
+def test_sigma_only_coarse_identical_fine():
+    """coarse_rgb=False (sigma-only trunk kernel for the coarse pass)
+    must give the BITWISE-identical fine image: same sigma → same
+    weights → same sample_pdf → same fine pass."""
+    from tgtc.models.style_field import init_latents
+    from tgtc.render.fast_style import FusedStyleRenderer
+    from tgtc.render.volume import RenderSettings
+
+    key = jax.random.PRNGKey(0)
+    nerf_cfg = NerfConfig()
+    _, npc = make_nerf(nerf_cfg, key)
+    _, npf = make_nerf(nerf_cfg, jax.random.fold_in(key, 1))
+    field = StyleFieldConfig(style_d=8, width=256, latent_dim=32,
+                             embed_dim=nerf_cfg.input_ch)
+    _, pc, _, ps = make_style_mlps(field, jax.random.fold_in(key, 2))
+    lat = init_latents(jax.random.fold_in(key, 3), 1, 4, 32)
+    mk = lambda cr: FusedStyleRenderer.from_params(
+        npc, npf, pc, ps, lat,
+        RenderSettings(n_samples=8, n_samples_fine=8, sigma_noise_std=0.0),
+        tile=128, interpret=True, llff_tile=False, coarse_rgb=cr,
+    )
+    ro = jax.random.uniform(key, (64, 3), minval=-0.5, maxval=0.5)
+    rd = jax.random.normal(key, (64, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    sid = jnp.zeros(64, jnp.int32)
+    fid = jnp.ones(64, jnp.int32)
+    rkey = jax.random.PRNGKey(7)
+    out_full = mk(True).render(ro, rd, sid, fid, rkey)
+    out_sig = mk(False).render(ro, rd, sid, fid, rkey)
+    assert "rgb_coarse" not in out_sig
+    np.testing.assert_array_equal(np.asarray(out_full["rgb"]),
+                                  np.asarray(out_sig["rgb"]))
+    np.testing.assert_array_equal(np.asarray(out_full["t_exp"]),
+                                  np.asarray(out_sig["t_exp"]))
+
+
 def test_fused_style_non_default_trunk():
     """Regression: pack_style_params once assumed a 256-wide trunk."""
     key = jax.random.PRNGKey(0)

@@ -66,6 +66,24 @@ def alpha_composite(
     return CompositeOutput(rgb=rgb_exp, t_exp=t_exp, weights=weights, acc=acc)
 
 
+def sigma_weights(sigma: jnp.ndarray, t_values: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample compositing weights from density alone — identical math
+    to :func:`alpha_composite` (no noise), without touching any radiance.
+    Lets a render pass that only needs importance weights (the stylized
+    coarse pass — sample_pdf consumes weights, the coarse rgb is discarded)
+    skip the whole per-point color computation."""
+    delta = t_values[..., 1:] - t_values[..., :-1]
+    delta = jnp.concatenate(
+        [delta, jnp.full_like(delta[..., :1], 1e10)], axis=-1
+    )
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * delta)
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = jnp.concatenate(
+        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1
+    )
+    return alpha * trans
+
+
 def alpha_composite_wild(
     rgb: jnp.ndarray,
     sigma: jnp.ndarray,

@@ -286,6 +286,99 @@ def _make_kernel(depth: int, skip: int, num_freq_coor: int, style_d: int,
     return kernel
 
 
+def _make_sigma_kernel(depth: int, skip: int, num_freq_coor: int,
+                       trunk_width: int, n_chunks: int = 2):
+    """Trunk→sigma only — for passes whose output feeds nothing but the
+    compositing weights (the stylized COARSE pass: sample_pdf consumes
+    weights, coarse rgb is discarded, /root/reference/rendering.py:118-136
+    computes it anyway). Reads the same packed ``w_trunk``/``wsig``/``enc``
+    buffers as the full kernel; the base_remap/style columns are simply
+    never touched. ~37% of the full chain's MXU passes."""
+    ec = 6 * num_freq_coor
+    in_c = 3 + ec
+    tw = trunk_width
+
+    def kernel(pts_ref, wt_ref, wsig_ref, enc_ref, sigma_ref):
+        f32, bf16 = jnp.float32, jnp.bfloat16
+
+        def mm(a, b):
+            return jnp.dot(a, b, preferred_element_type=f32)
+
+        enc = enc_ref[:]
+        pmat_c, phase_c = enc[:ec, 0:3], enc[:ec, 3:4]
+        wt, wsig = wt_ref[:], wsig_ref[:]
+
+        def chunk_body(sl):
+            pts = pts_ref[:, sl].astype(f32)
+            e_c = jnp.concatenate(
+                [pts, jnp.sin(mm(pmat_c, pts) + phase_c)], axis=0
+            ).astype(bf16)
+
+            off = 0
+
+            def take_t(cols):
+                nonlocal off
+                blk = wt[:tw, off : off + cols]
+                off += cols
+                return blk
+
+            w0, b0 = take_t(in_c), take_t(1)
+            h = jnp.maximum(mm(w0, e_c) + b0.astype(f32), 0.0).astype(bf16)
+            for i in range(1, depth):
+                if i == skip + 1:
+                    wx, wh, b = take_t(in_c), take_t(tw), take_t(1)
+                    h = mm(wh, h) + mm(wx, e_c) + b.astype(f32)
+                else:
+                    wh, b = take_t(tw), take_t(1)
+                    h = mm(wh, h) + b.astype(f32)
+                h = jnp.maximum(h, 0.0).astype(bf16)
+
+            sigma = mm(wsig[:1, :tw], h) + wsig[:1, tw:].astype(f32)
+            sigma_ref[:, sl] = sigma.astype(sigma_ref.dtype)
+
+        tile = pts_ref.shape[1]
+        chunks = n_chunks if tile % n_chunks == 0 else 1
+        for c in range(chunks):
+            chunk_body(slice(c * (tile // chunks), (c + 1) * (tile // chunks)))
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth", "skip", "num_freq_coor", "trunk_width",
+                     "tile", "interpret"),
+)
+def fused_sigma_apply_t(
+    w_trunk: jnp.ndarray,
+    w_sig: jnp.ndarray,
+    enc: jnp.ndarray,
+    pts_t: jnp.ndarray,     # [3, P]
+    depth: int = 8,
+    skip: int = 4,
+    num_freq_coor: int = 10,
+    trunk_width: int = 256,
+    tile: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """→ sigma [1, P] from the packed style-kernel buffers (trunk only)."""
+    p = pts_t.shape[1]
+    assert p % tile == 0, (p, tile)
+    pts_spec = pl.BlockSpec((3, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_sigma_kernel(depth, skip, num_freq_coor, trunk_width),
+        grid=(p // tile,),
+        in_specs=[pts_spec, full(w_trunk), full(w_sig), full(enc)],
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, p), jnp.float32),
+        interpret=interpret,
+    )(pts_t, w_trunk, w_sig, enc)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("depth", "skip", "num_freq_coor", "style_d",

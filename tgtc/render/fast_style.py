@@ -16,8 +16,12 @@ import jax
 import jax.numpy as jnp
 
 from tgtc.models.style_field import lookup_latents
-from tgtc.ops.composite import alpha_composite
-from tgtc.ops.pallas.style_kernel import fused_style_apply_t, pack_style_params
+from tgtc.ops.composite import alpha_composite, sigma_weights
+from tgtc.ops.pallas.style_kernel import (
+    fused_sigma_apply_t,
+    fused_style_apply_t,
+    pack_style_params,
+)
 from tgtc.ops.sampling import sample_along_rays_uniform, sample_pdf
 from tgtc.render.fast import _points_t
 from tgtc.render.volume import RenderSettings
@@ -37,6 +41,7 @@ def make_fused_style_render_fn(
     trunk_width: int = 256,
     depth_fine: int = None,
     trunk_width_fine: int = None,
+    coarse_rgb: bool = True,
 ):
     """Jitted ``(packed_c(4), packed_f(4), latent_state, rays_o, rays_d,
     style_ids, frame_ids, key) → {"rgb", "t_exp"}`` renderer.
@@ -75,10 +80,23 @@ def make_fused_style_render_fn(
             rays_o, rays_d, nc, near=settings.near, far=settings.far,
             key=key,  # perturb=True at render, reference parity
         )
-        comp_c = run((wtc, wsc, wgc, encc), ts, kw)
+        if coarse_rgb:
+            comp_c = run((wtc, wsc, wgc, encc), ts, kw)
+            weights_c = comp_c.weights
+        else:
+            # sigma-only coarse: sample_pdf needs nothing but the
+            # compositing weights, so skip the whole style chain
+            # (~63% of the coarse pass's MXU passes). Identical fine
+            # result — asserted in tests/test_style_kernel.py.
+            pt, _ = _points_t(rays_o, rays_d, ts)
+            sig_t = fused_sigma_apply_t(
+                wtc, wgc, encc, pt, depth=kw["depth"],
+                num_freq_coor=num_freq_coor, trunk_width=trunk_width,
+                tile=tile, interpret=interpret)
+            weights_c = sigma_weights(sig_t.reshape(r, nc), ts)
 
         ts_mid = 0.5 * (ts[..., 1:] + ts[..., :-1])
-        t_new = sample_pdf(ts_mid, comp_c.weights[..., 1:-1],
+        t_new = sample_pdf(ts_mid, weights_c[..., 1:-1],
                            settings.n_samples_fine)
         # NOTE: rank-merge beats sort standalone (3.6 vs 4.9 ms) but
         # LOSES in the fused pipeline (bench 515k vs 534k rays/s — the
@@ -86,8 +104,10 @@ def make_fused_style_render_fn(
         ts_f = jnp.sort(jnp.concatenate([ts, t_new], axis=-1), axis=-1)
         comp_f = run((wtf, wsf, wgf, encf), ts_f, kw_f)
 
-        return {"rgb": comp_f.rgb, "t_exp": comp_f.t_exp,
-                "rgb_coarse": comp_c.rgb}
+        out = {"rgb": comp_f.rgb, "t_exp": comp_f.t_exp}
+        if coarse_rgb:
+            out["rgb_coarse"] = comp_c.rgb
+        return out
 
     return render
 
@@ -112,13 +132,14 @@ class FusedStyleRenderer:
     trunk_width: int = 256
     depth_fine: int = None
     trunk_width_fine: int = None
+    coarse_rgb: bool = True
 
     def __post_init__(self):
         self._fn = make_fused_style_render_fn(
             self.settings, self.depth, self.num_freq_coor, self.style_d,
             self.style_width, self.latent_dim, self.sigma_scale,
             self.llff_tile, self.tile, self.interpret, self.trunk_width,
-            self.depth_fine, self.trunk_width_fine,
+            self.depth_fine, self.trunk_width_fine, self.coarse_rgb,
         )
 
     @classmethod
@@ -130,6 +151,7 @@ class FusedStyleRenderer:
         sigma_scale: float = 1.0, llff_tile: bool = True,
         tile: int = 2048, interpret: bool = False, trunk_width: int = 256,
         depth_fine: int = None, trunk_width_fine: int = None,
+        coarse_rgb: bool = True,
     ) -> "FusedStyleRenderer":
         pk = lambda npar, d, w: pack_style_params(
             npar, concat_params, style_params, depth=d,
@@ -142,7 +164,8 @@ class FusedStyleRenderer:
                       trunk_width_fine or trunk_width),
                    latent_state, settings, depth, num_freq_coor, style_d,
                    style_width, latent_dim, sigma_scale, llff_tile, tile,
-                   interpret, trunk_width, depth_fine, trunk_width_fine)
+                   interpret, trunk_width, depth_fine, trunk_width_fine,
+                   coarse_rgb)
 
     def render(self, rays_o, rays_d, style_ids, frame_ids, key):
         return self._fn(*self.packed_coarse, *self.packed_fine,

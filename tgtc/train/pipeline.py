@@ -762,6 +762,10 @@ class Pipeline:
             llff_tile=cfg.dataset_type == "llff",
             trunk_width=cfg.netwidth, depth_fine=cfg.netdepth_fine,
             trunk_width_fine=cfg.netwidth_fine,
+            # frame rendering consumes only fine rgb/depth — the coarse
+            # pass runs sigma-only (trunk kernel), skipping ~63% of its
+            # style-chain compute
+            coarse_rgb=False,
         )
         from tgtc.train.render_style import render_stylized_frames_fused
 
