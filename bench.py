@@ -107,7 +107,11 @@ def main():
     params_f = _numpy_nerf_params(rng, nerf_cfg)
     settings = RenderSettings(n_samples=64, n_samples_fine=64,
                               sigma_noise_std=0.0)
-    rend = FusedNerfRenderer.from_params(params_c, params_f, settings)
+    # sigma-only coarse pass: render consumes only the fine image, the
+    # coarse pass exists for sample_pdf weights (round-3; bitwise-identical
+    # fine output, tests/test_pallas_kernel.py)
+    rend = FusedNerfRenderer.from_params(params_c, params_f, settings,
+                                         coarse_rgb=False)
 
     rays_o = rng.uniform(-1.0, 1.0, (BLOCK, 3)).astype(np.float32)
     rays_d = rng.standard_normal((BLOCK, 3)).astype(np.float32)

@@ -106,6 +106,36 @@ class TestFusedKernel:
         )
 
 
+    def test_sigma_only_coarse_identical_fine(self):
+        """coarse_rgb=False (sigma-only trunk kernel on the coarse pass)
+        gives the bitwise-identical fine image: identical sigma → identical
+        weights → identical sample_pdf → identical fine pass."""
+        from tgtc.render.fast import FusedNerfRenderer
+        from tgtc.render.volume import RenderSettings
+        from tgtc.train.nerf_trainer import NerfTrainConfig, init_state
+
+        _, _, state = init_state(
+            jax.random.PRNGKey(0), NerfConfig(), NerfTrainConfig()
+        )
+        settings = RenderSettings(n_samples=8, n_samples_fine=8,
+                                  sigma_noise_std=0.0)
+        mk = lambda cr: FusedNerfRenderer.from_params(
+            state.params_coarse, state.params_fine, settings,
+            tile=128, interpret=True, coarse_rgb=cr,
+        )
+        key = jax.random.PRNGKey(1)
+        ro = jax.random.uniform(key, (64, 3), minval=-0.5, maxval=0.5)
+        rd = jax.random.normal(key, (64, 3))
+        rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        out_full = mk(True).render(ro, rd)
+        out_sig = mk(False).render(ro, rd)
+        assert "rgb_coarse" not in out_sig
+        np.testing.assert_array_equal(np.asarray(out_full["rgb"]),
+                                      np.asarray(out_sig["rgb"]))
+        np.testing.assert_array_equal(np.asarray(out_full["t_exp"]),
+                                      np.asarray(out_sig["t_exp"]))
+
+
 class TestShardedFusedRender:
     def test_sharded_matches_single_device(self, cpu_mesh8):
         """The fused render under shard_map over 8 virtual devices equals

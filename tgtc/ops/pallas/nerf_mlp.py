@@ -230,6 +230,100 @@ def _make_kernel(depth: int, skip: int, num_freq_coor: int, num_freq_dir: int,
     return kernel
 
 
+def _make_sigma_kernel(depth: int, skip: int, num_freq_coor: int,
+                       width: int, n_chunks: int = 2):
+    """Trunk→sigma only (no dirs encoding, base_remap, or rgb branch) —
+    for the coarse render pass, whose output feeds nothing but
+    sample_pdf's importance weights (the coarse rgb is discarded at
+    render time; the reference computes it anyway,
+    /root/reference/rendering.py:118-136). Reads the same packed W1/W2
+    buffers as the full kernel."""
+    ec = 6 * num_freq_coor
+    in_c = 3 + ec
+    tw = width
+
+    def kernel(pts_ref, w1_ref, w2_ref, enc_ref, sigma_ref):
+        f32, bf16 = jnp.float32, jnp.bfloat16
+
+        def mm(a, b):
+            return jnp.dot(a, b, preferred_element_type=f32)
+
+        enc = enc_ref[:]
+        pmat_c, phase_c = enc[:ec, 0:3], enc[:ec, 3:4]
+        w1, w2 = w1_ref[:], w2_ref[:]
+
+        tile = pts_ref.shape[1]
+        chunks = n_chunks if tile % n_chunks == 0 else 1
+
+        for c in range(chunks):
+            sl = slice(c * (tile // chunks), (c + 1) * (tile // chunks))
+            pts = pts_ref[:, sl].astype(f32)
+            e_c = jnp.concatenate(
+                [pts, jnp.sin(mm(pmat_c, pts) + phase_c)], axis=0
+            ).astype(bf16)
+
+            off = 0
+
+            def take(cols):
+                nonlocal off
+                blk = w1[:tw, off : off + cols]
+                off += cols
+                return blk
+
+            w0, b0 = take(in_c), take(1)
+            h = jnp.maximum(mm(w0, e_c) + b0.astype(f32), 0.0).astype(bf16)
+            for i in range(1, depth):
+                if i == skip + 1:
+                    wx, wh, b = take(in_c), take(tw), take(1)
+                    h = mm(wh, h) + mm(wx, e_c) + b.astype(f32)
+                else:
+                    wh, b = take(tw), take(1)
+                    h = mm(wh, h) + b.astype(f32)
+                h = jnp.maximum(h, 0.0).astype(bf16)
+
+            wsig, bsig = w2[:, :tw], w2[:, tw : tw + 1]
+            sigma = mm(wsig[:1], h) + bsig[:1].astype(f32)
+            sigma_ref[:, sl] = sigma.astype(sigma_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth", "skip", "num_freq_coor", "width", "tile",
+                     "interpret"),
+)
+def fused_nerf_sigma_apply_t(
+    w1: jnp.ndarray,
+    w2: jnp.ndarray,
+    enc: jnp.ndarray,
+    pts_t: jnp.ndarray,
+    depth: int = 8,
+    skip: int = 4,
+    num_freq_coor: int = 10,
+    width: int = 256,
+    tile: int = 4096,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``pts_t [3, P]`` → sigma [1, P] from the same packed buffers as
+    :func:`fused_nerf_apply_t` (trunk + sigma head only)."""
+    p = pts_t.shape[1]
+    assert p % tile == 0, (p, tile)
+    point_spec = pl.BlockSpec((3, tile), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_sigma_kernel(depth, skip, num_freq_coor, width),
+        grid=(p // tile,),
+        in_specs=[point_spec, full(w1), full(w2), full(enc)],
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, p), jnp.float32),
+        interpret=interpret,
+    )(pts_t, w1, w2, enc)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("depth", "skip", "num_freq_coor", "num_freq_dir",

@@ -20,8 +20,12 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from tgtc.ops.composite import alpha_composite
-from tgtc.ops.pallas.nerf_mlp import fused_nerf_apply_t, pack_nerf_params
+from tgtc.ops.composite import alpha_composite, sigma_weights
+from tgtc.ops.pallas.nerf_mlp import (
+    fused_nerf_apply_t,
+    fused_nerf_sigma_apply_t,
+    pack_nerf_params,
+)
 from tgtc.ops.sampling import sample_along_rays_uniform, sample_pdf
 from tgtc.render.volume import RenderSettings
 
@@ -48,6 +52,7 @@ def make_fused_render_fn(
     width: int = 256,
     depth_fine: int = None,
     width_fine: int = None,
+    coarse_rgb: bool = True,
 ):
     """Build a jitted ``(w1c, w2c, encc, w1f, w2f, encf, rays_o, rays_d) ->
     outputs`` render function using the fused trunk kernel for both passes.
@@ -72,14 +77,25 @@ def make_fused_render_fn(
         )
         del pts_c  # rebuilt transposed
         pt, dt = _points_t(rays_o, rays_d, ts)
-        rgb_t, sigma_t = fused_nerf_apply_t(w1c, w2c, encc, pt, dt, **kw)
-        rgb_c = rgb_t.reshape(3, r, nc).transpose(1, 2, 0)
-        sigma_c = sigma_t.reshape(r, nc)
-        comp_c = alpha_composite(rgb_c, sigma_c, ts,
-                                 white_bkgd=settings.white_bkgd)
+        if coarse_rgb:
+            rgb_t, sigma_t = fused_nerf_apply_t(w1c, w2c, encc, pt, dt, **kw)
+            rgb_c = rgb_t.reshape(3, r, nc).transpose(1, 2, 0)
+            sigma_c = sigma_t.reshape(r, nc)
+            comp_c = alpha_composite(rgb_c, sigma_c, ts,
+                                     white_bkgd=settings.white_bkgd)
+            weights_c = comp_c.weights
+        else:
+            # sigma-only coarse: importance weights need no radiance —
+            # skip dirs encoding, base_remap, and the rgb branch.
+            # Identical fine image (tests/test_pallas_kernel.py).
+            sig_t = fused_nerf_sigma_apply_t(
+                w1c, w2c, encc, pt, depth=kw["depth"],
+                num_freq_coor=num_freq_coor, width=width, tile=tile,
+                interpret=interpret)
+            weights_c = sigma_weights(sig_t.reshape(r, nc), ts)
 
         ts_mid = 0.5 * (ts[..., 1:] + ts[..., :-1])
-        t_new = sample_pdf(ts_mid, comp_c.weights[..., 1:-1],
+        t_new = sample_pdf(ts_mid, weights_c[..., 1:-1],
                            settings.n_samples_fine)
         # NOTE: rank-merge beats sort standalone (3.6 vs 4.9 ms) but
         # LOSES in the fused pipeline (bench 515k vs 534k rays/s — the
@@ -93,13 +109,12 @@ def make_fused_render_fn(
         comp_f = alpha_composite(rgb_f, sigma_f, ts_f,
                                  white_bkgd=settings.white_bkgd)
 
-        return {
-            "rgb": comp_f.rgb,
-            "rgb_coarse": comp_c.rgb,
-            "t_exp": comp_f.t_exp,
-            "t_exp_coarse": comp_c.t_exp,
-            "acc": comp_f.acc,
-        }
+        out = {"rgb": comp_f.rgb, "t_exp": comp_f.t_exp,
+               "acc": comp_f.acc}
+        if coarse_rgb:
+            out["rgb_coarse"] = comp_c.rgb
+            out["t_exp_coarse"] = comp_c.t_exp
+        return out
 
     return render
 
@@ -123,12 +138,13 @@ class FusedNerfRenderer:
     width: int = 256
     depth_fine: int = None
     width_fine: int = None
+    coarse_rgb: bool = True
 
     def __post_init__(self):
         self._fn = make_fused_render_fn(
             self.settings, self.tile, self.interpret, self.depth,
             self.num_freq_coor, self.num_freq_dir, self.width,
-            self.depth_fine, self.width_fine,
+            self.depth_fine, self.width_fine, self.coarse_rgb,
         )
 
     @classmethod
@@ -145,6 +161,7 @@ class FusedNerfRenderer:
         interpret: bool = False,
         depth_fine: int = None,
         width_fine: int = None,
+        coarse_rgb: bool = True,
     ) -> "FusedNerfRenderer":
         pc = pack_nerf_params(params_coarse, depth=depth,
                               num_freq_coor=num_freq_coor,
@@ -156,7 +173,8 @@ class FusedNerfRenderer:
         return cls(pc, pf, settings, tile=tile, interpret=interpret,
                    depth=depth, num_freq_coor=num_freq_coor,
                    num_freq_dir=num_freq_dir, width=width,
-                   depth_fine=depth_fine, width_fine=width_fine)
+                   depth_fine=depth_fine, width_fine=width_fine,
+                   coarse_rgb=coarse_rgb)
 
     def render(self, rays_o: jnp.ndarray, rays_d: jnp.ndarray
                ) -> Dict[str, jnp.ndarray]:
@@ -207,10 +225,10 @@ def make_sharded_fused_render_fn(
     inner = make_fused_render_fn(settings, **kw)
     n_w = 6  # packed coarse (3) + packed fine (3) weight operands
 
-    out_specs = {
-        "rgb": P(axis), "rgb_coarse": P(axis), "t_exp": P(axis),
-        "t_exp_coarse": P(axis), "acc": P(axis),
-    }
+    out_specs = {"rgb": P(axis), "t_exp": P(axis), "acc": P(axis)}
+    if kw.get("coarse_rgb", True):
+        out_specs["rgb_coarse"] = P(axis)
+        out_specs["t_exp_coarse"] = P(axis)
     return jax.jit(
         shard_map(
             inner,

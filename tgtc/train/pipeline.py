@@ -270,7 +270,7 @@ class Pipeline:
                 num_freq_coor=cfg.embed_freq_coor,
                 num_freq_dir=cfg.embed_freq_dir, depth=cfg.netdepth,
                 width=cfg.netwidth, depth_fine=cfg.netdepth_fine,
-                width_fine=cfg.netwidth_fine,
+                width_fine=cfg.netwidth_fine, coarse_rgb=False,
             )
         else:
             render_fn = make_render_fn(cm, fm, train_cfg, mesh=self.mesh)
@@ -796,7 +796,7 @@ class Pipeline:
                 num_freq_coor=cfg.embed_freq_coor,
                 num_freq_dir=cfg.embed_freq_dir, depth=cfg.netdepth,
                 width=cfg.netwidth, depth_fine=cfg.netdepth_fine,
-                width_fine=cfg.netwidth_fine,
+                width_fine=cfg.netwidth_fine, coarse_rgb=False,
             )
             rfn = renderer.render_image
         else:
