@@ -35,9 +35,31 @@ def _texture(key: int, h: int, w: int) -> np.ndarray:
     return np.stack([r, g, b], -1).astype(np.float32)
 
 
+def _texture_hf(key: int, h: int, w: int) -> np.ndarray:
+    """High-frequency texture: fine checker + 3 sin octaves + hash noise —
+    stresses the positional encoding's upper bands (L=10 → 2^9 cycles)."""
+    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w),
+                         indexing="ij")
+    checker = ((np.floor(xx * 24) + np.floor(yy * 24)) % 2)
+    oct_ = sum(0.5 ** o * np.sin(2 * np.pi * (2 ** (o + 2))
+                                 * (xx * 1.3 + yy * 0.7) + key * o)
+               for o in range(3))
+    rng = np.random.default_rng(key)
+    noise = rng.uniform(-1, 1, (h // 4, w // 4))
+    noise = np.kron(noise, np.ones((4, 4)))[:h, :w]
+    r = np.clip(0.35 + 0.45 * checker + 0.15 * oct_, 0, 1)
+    g = np.clip(0.4 + 0.3 * oct_ + 0.2 * noise, 0, 1)
+    b = np.clip(0.3 + 0.5 * (1 - checker) + 0.1 * noise, 0, 1)
+    return np.stack([r, g, b], -1).astype(np.float32)
+
+
 def _render_planes(c2w, h, w, focal, planes):
     """Analytic render: axis-aligned z=const textured planes with circular
-    holes, front-to-back. Cameras look down -z (LLFF convention)."""
+    holes, front-to-back. Cameras look down -z (LLFF convention).
+
+    A plane entry may carry a 4th element ``(ks, shininess, light)``: a
+    Blinn-Phong specular lobe from a point light — view-DEPENDENT
+    radiance, which only the rgb head's viewdir branch can explain."""
     j, i = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     dirs = np.stack(
         [(i - w * 0.5) / focal, -(j - h * 0.5) / focal, -np.ones_like(i)], -1
@@ -46,7 +68,9 @@ def _render_planes(c2w, h, w, focal, planes):
     ro = np.broadcast_to(c2w[:3, 3], rd.shape)
     out = np.zeros((h, w, 3), np.float32)
     done = np.zeros((h, w), bool)
-    for z, tex, holes in planes:
+    for plane in planes:
+        z, tex, holes = plane[:3]
+        spec = plane[3] if len(plane) > 3 else None
         t = (z - ro[..., 2]) / rd[..., 2]
         x = ro[..., 0] + t * rd[..., 0]
         y = ro[..., 1] + t * rd[..., 1]
@@ -54,6 +78,17 @@ def _render_planes(c2w, h, w, focal, planes):
         v = np.clip((y + 2.0) / 4.0, 0, 0.999)
         th, tw = tex.shape[:2]
         col = tex[(v * th).astype(int), (u * tw).astype(int)]
+        if spec is not None:
+            ks, shin, light = spec
+            p = np.stack([x, y, np.full_like(x, z)], -1)
+            l_dir = np.asarray(light, np.float32) - p
+            l_dir /= np.linalg.norm(l_dir, axis=-1, keepdims=True) + 1e-9
+            v_dir = -rd / (np.linalg.norm(rd, axis=-1, keepdims=True) + 1e-9)
+            half = l_dir + v_dir
+            half /= np.linalg.norm(half, axis=-1, keepdims=True) + 1e-9
+            # plane normal is +z (faces the cameras)
+            lobe = np.clip(half[..., 2], 0.0, 1.0) ** shin
+            col = np.clip(col + ks * lobe[..., None], 0, 1)
         hit = (t > 0) & ~done
         for hx, hy, hr in holes:
             hit &= ((x - hx) ** 2 + (y - hy) ** 2) > hr ** 2
@@ -63,17 +98,33 @@ def _render_planes(c2w, h, w, focal, planes):
 
 
 def make_scene(root: str, h: int, w: int, n: int = 12,
-               focal_ratio: float = 0.9) -> None:
+               focal_ratio: float = 0.9, scene_class: str = "smooth") -> None:
     from PIL import Image
 
     imgdir = os.path.join(root, "images")
     os.makedirs(imgdir, exist_ok=True)
     focal = focal_ratio * w
-    planes = [
-        (-4.0, _texture(1, 512, 512), [(0.3, 0.2, 0.45), (-0.8, -0.5, 0.3)]),
-        (-5.5, _texture(2, 512, 512), [(-0.2, 0.4, 0.5)]),
-        (-7.0, _texture(3, 512, 512), []),
-    ]
+    if scene_class == "smooth":
+        planes = [
+            (-4.0, _texture(1, 512, 512),
+             [(0.3, 0.2, 0.45), (-0.8, -0.5, 0.3)]),
+            (-5.5, _texture(2, 512, 512), [(-0.2, 0.4, 0.5)]),
+            (-7.0, _texture(3, 512, 512), []),
+        ]
+    elif scene_class == "spec":
+        # second scene class (VERDICT r2 item 10): fine checker/noise
+        # textures + a glossy front plane (Blinn-Phong lobe — genuinely
+        # view-dependent radiance exercising the rgb head's viewdirs)
+        planes = [
+            (-4.0, _texture_hf(11, 1024, 1024),
+             [(0.3, 0.2, 0.45), (-0.8, -0.5, 0.3)],
+             (0.55, 40.0, (0.5, 0.8, -1.5))),
+            (-5.5, _texture_hf(12, 1024, 1024), [(-0.2, 0.4, 0.5)],
+             (0.3, 12.0, (-0.8, 0.3, -2.0))),
+            (-7.0, _texture(3, 512, 512), []),
+        ]
+    else:
+        raise ValueError(f"unknown scene_class {scene_class!r}")
     poses = []
     for k in range(n):
         c2w = np.eye(4)[:3].copy()
@@ -117,16 +168,26 @@ def main():
     ap.add_argument("--c1_iters", type=int, default=150)
     ap.add_argument("--c2_iters", type=int, default=15)
     ap.add_argument("--total_step_delta", type=int, default=4000)
+    ap.add_argument("--scene_class", default="smooth",
+                    choices=["smooth", "spec"],
+                    help="spec = high-frequency textures + Blinn-Phong "
+                         "glossy planes (view-dependent radiance)")
     args = ap.parse_args()
 
+    if args.scene_class != "smooth" and args.workdir == "/tmp/tgtc_realscale":
+        args.workdir = f"/tmp/tgtc_realscale_{args.scene_class}"
     root = os.path.join(args.workdir, "scene")
     if not os.path.exists(os.path.join(root, "poses_bounds.npy")):
-        make_scene(root, args.height, args.width)
+        make_scene(root, args.height, args.width,
+                   scene_class=args.scene_class)
     style_dir = os.path.join(args.workdir, "styles")
     make_styles(style_dir)
 
+    from tgtc.cli import _enable_compilation_cache
     from tgtc.config import Config
     from tgtc.train.pipeline import Pipeline
+
+    _enable_compilation_cache()
 
     cfg = Config(
         expname="realscale", basedir=os.path.join(args.workdir, "logs"),
@@ -151,6 +212,7 @@ def main():
     psnr = pipe.evaluate()
     result = {
         "metric": "realscale_phaseA",
+        "scene_class": args.scene_class,
         "resolution": f"{args.height}x{args.width}",
         "steps": args.steps,
         "train_seconds": round(dt, 1),
