@@ -198,10 +198,13 @@ def main():
         origin_step=args.steps, i_print=200, lrate_decay=250000,
         total_step=args.steps + args.total_step_delta,
         batch_size_style=256,
-        # the synthetic rainbow scene's origin-cosine pattern makes the
-        # coherence gradient ~450x the rgb gradient at fern's 1e2 (see
-        # BASELINE.md "coherence dynamics") — scale it to this workload
-        loss_coh_lambda=1.0,
+        # the synthetic scenes' high-chroma content inflates the coherence
+        # gradient vs fern's 1e2 default (BASELINE.md "coherence
+        # dynamics"); the spec class is worse still — at lambda=1.0 its
+        # coh term ran ~16x the rgb term and Phase-E rgb MSE plateaued at
+        # 0.34 (renders 7.5 dB vs targets); at 0.02 it converges to
+        # 5.4e-4 (renders 35.2 dB)
+        loss_coh_lambda=1.0 if args.scene_class == "smooth" else 0.02,
         use_pallas=True,
     )
     pipe = Pipeline(cfg)
