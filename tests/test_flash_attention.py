@@ -153,6 +153,26 @@ def test_styletransformer_flash_matches_xla():
     assert float(jnp.max(jnp.abs(o_x - o_f))) < 1e-2
 
 
+def test_styletransformer_rectangular_content_style():
+    """Content and style grids of DIFFERENT sizes (full-res C3): output
+    follows the content grid; flash and xla agree. Regression for the
+    output-reshape-by-style-shape bug found in round 3."""
+    from tgtc.models.transformer import StyleTransformer, TransformerConfig
+
+    key = jax.random.PRNGKey(0)
+    style = jax.random.normal(key, (1, 4, 4, 512))
+    content = jax.random.normal(jax.random.fold_in(key, 1), (1, 6, 8, 512))
+    cfg = dict(num_encoder_layers=1, num_decoder_layers=1,
+               dim_feedforward=256)
+    m_x = StyleTransformer(TransformerConfig(attn_impl="xla", **cfg))
+    m_f = StyleTransformer(TransformerConfig(attn_impl="flash", **cfg))
+    params = m_x.init(jax.random.PRNGKey(2), style, content)
+    o_x = m_x.apply(params, style, content)
+    o_f = m_f.apply(params, style, content)
+    assert o_x.shape == (1, 6, 8, 512)
+    assert float(jnp.max(jnp.abs(o_x - o_f))) < 1e-2
+
+
 def test_styletransformer_flash_train_mode_runs():
     """Dropout path end-to-end through flax rngs: grads are finite and the
     same dropout rng gives identical results."""

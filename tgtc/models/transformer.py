@@ -246,6 +246,9 @@ class StyleTransformer(nn.Module):
         """
         cfg = self.cfg
         b, hs, ws, c = style.shape
+        # output tokens follow the CONTENT grid — content and style maps
+        # may differ in size (e.g. full-res C3 stylization vs a 512² style)
+        _, hc, wc, _ = content.shape
         s = style.reshape(b, hs * ws, c)
         ct = content.reshape(b, -1, c)
         if pos_mode == "ics":
@@ -270,4 +273,4 @@ class StyleTransformer(nn.Module):
                 deterministic=deterministic,
             )
         out = nn.LayerNorm(name="dec_norm")(out)
-        return out.reshape(b, hs, ws, c)
+        return out.reshape(b, hc, wc, c)
