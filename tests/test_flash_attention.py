@@ -129,6 +129,25 @@ def test_bf16_path():
     assert float(jnp.max(jnp.abs(o.astype(jnp.float32) - o_ref))) < 3e-2
 
 
+def test_flash_under_shard_map(cpu_mesh8):
+    """Flash attention inside shard_map over the batch axis (the
+    multi-chip C1 layout: batch data-parallel, no collectives in the
+    kernel) equals the unsharded result."""
+    from jax.sharding import PartitionSpec as P
+
+    q, k, v = _qkv(jax.random.PRNGKey(0), 8, 2, 256, 256, 64)
+    sc = 0.125
+    fn = lambda q, k, v: FA(q, k, v, sm_scale=sc, block_q=128, block_k=128)
+    single = fn(q, k, v)
+    sharded = jax.jit(jax.shard_map(
+        fn, mesh=cpu_mesh8,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P("data"), check_vma=False,
+    ))(q, k, v)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_requires_seed():
     q, k, v = _qkv(jax.random.PRNGKey(5), 1, 1, 128, 128, 64)
     with pytest.raises(ValueError):

@@ -480,6 +480,14 @@ class Pipeline:
         )
         c2_ckpt.save(int(c2state.step), jax.device_get(c2state), force=True)
         c2_ckpt.close()
+        # barrier for the async C1-collage / C2-debug PNG writers — without
+        # it, callers (and the e2e test) can observe missing files under a
+        # loaded host
+        from tgtc.utils import native as _native
+
+        errs = _native.wait_writes()
+        if errs:
+            raise IOError(f"{errs} async debug-image writes failed")
 
     # ------------------------------------------------------------- phase D
 
