@@ -116,15 +116,23 @@ def pack_style_params(
     # concat MLP: n_layers = min(style_d - 1, skip + 1); inputs per layer i:
     #   i=0: [x_embed(in_c), lat(L)] ; 1..skip-1: [h(width), lat]
     #   i=skip: [h, lat, x_embed]
+    # Layers 0 and skip consume BOTH x_embed and lat: their weights pack
+    # as one [we | 0-pad | wl] block matched to the kernel's fused
+    # ``el = [e_c ; 0 ; lat]`` operand — e_c (in_c rows) and lat (L rows)
+    # each under 128 rows would otherwise each burn a full MXU K-tile;
+    # fused they share one (in_c+pad+L ≤ 128 for the reference shapes).
     n_concat = min(style_d - 1, skip + 1)
+    ecp = ((in_c + 7) // 8) * 8  # e_c rows padded to sublane multiple
+    zpad = np.zeros((width, ecp - in_c), np.float32)
     for i in range(n_concat):
         w = kern(concat_params, f"layer_{i}")
         if i == 0:
-            sblocks += [pad_rows(w[:, :in_c]), pad_rows(w[:, in_c:])]
+            w_el = np.concatenate([w[:, :in_c], zpad, w[:, in_c:]], axis=1)
+            sblocks += [pad_rows(w_el)]
         elif i == skip:
-            sblocks += [pad_rows(w[:, :width]),
-                        pad_rows(w[:, width : width + latent_dim]),
-                        pad_rows(w[:, width + latent_dim :])]
+            w_el = np.concatenate([w[:, width + latent_dim :], zpad,
+                                   w[:, width : width + latent_dim]], axis=1)
+            sblocks += [pad_rows(w[:, :width]), pad_rows(w_el)]
         else:
             sblocks += [pad_rows(w[:, :width]), pad_rows(w[:, width:])]
         sblocks.append(pad_rows(bias(concat_params, f"layer_{i}")))
@@ -225,6 +233,13 @@ def _make_kernel(depth: int, skip: int, num_freq_coor: int, style_d: int,
             # ---------------- style chain
             lat = lat_ref[:, sl].astype(bf16)          # [latent_dim, T]
             lat_mean = jnp.mean(lat.astype(f32), axis=0, keepdims=True)
+            # fused [e_c ; 0-pad ; lat] operand — layers 0/skip read both
+            # through ONE matmul (shared MXU K-tile; see pack_style_params)
+            ecp = ((in_c + 7) // 8) * 8
+            el = jnp.concatenate(
+                [e_c,
+                 jnp.zeros((ecp - in_c, e_c.shape[1]), bf16),
+                 lat], axis=0)                          # [ecp+L, T]
 
             soff = 0
 
@@ -236,15 +251,16 @@ def _make_kernel(depth: int, skip: int, num_freq_coor: int, style_d: int,
 
             # concat MLP
             n_concat = min(style_d - 1, skip + 1)
+            el_cols = ecp + latent_dim
             cf = None
             for i in range(n_concat):
                 if i == 0:
-                    we, wl, b = take_s(in_c), take_s(latent_dim), take_s(1)
-                    acc = mm(we, e_c) + mm(wl, lat) + b.astype(f32)
+                    w_el, b = take_s(el_cols), take_s(1)
+                    acc = mm(w_el, el) + b.astype(f32)
                 elif i == skip:
-                    wh, wl, we, b = (take_s(width), take_s(latent_dim),
-                                     take_s(in_c), take_s(1))
-                    acc = mm(wh, cf) + mm(wl, lat) + mm(we, e_c) + b.astype(f32)
+                    wh, w_el, b = (take_s(width), take_s(el_cols),
+                                   take_s(1))
+                    acc = mm(wh, cf) + mm(w_el, el) + b.astype(f32)
                 else:
                     wh, wl, b = take_s(width), take_s(latent_dim), take_s(1)
                     acc = mm(wh, cf) + mm(wl, lat) + b.astype(f32)
