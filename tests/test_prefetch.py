@@ -33,8 +33,8 @@ class TestPrefetcher:
             for _ in range(3):
                 b = pf.next()
                 assert b.shape == (4, 16, 16, 3)
-                assert b.dtype == np.float32
-                assert 0.0 <= b.min() and b.max() <= 1.0
+                # uint8 since round 3 — trainers normalize on device
+                assert b.dtype == np.uint8
 
     def test_deterministic_across_instances(self, image_dir):
         with CropBatchPrefetcher(_paths(image_dir), batch=3, patch=16,
@@ -63,5 +63,5 @@ class TestPrefetcher:
 
         want = np.asarray(
             Image.open(p).convert("RGB").resize((32, 32), Image.BILINEAR),
-            np.float32) / 255.0
+            np.uint8)
         np.testing.assert_array_equal(out, want)

@@ -4,8 +4,19 @@ The reference feeds C1/VAE from torch DataLoaders with worker processes
 (/root/reference/trans_train.py:134-141, ``num_workers``); the round-1
 port decoded 8x512^2 JPEGs serially on the training thread every step,
 stalling the device. This prefetcher double-buffers whole random-crop
-batches on a thread pool (PIL decode/resize release the GIL), so the next
-batch decodes while the device runs the current step.
+batches on a thread pool, so the next batch decodes while the device
+runs the current step.
+
+Round-3 additions, both forced by this host exposing ONE core (decode
+cannot be parallelized away):
+
+* decoded+resized images are kept in a byte-bounded LRU cache as uint8 —
+  typical 2D-stage datasets (tens of nerf_gen frames, a style folder)
+  re-decode the same files every epoch, so steady-state per-step host
+  work collapses to random crops (memcpy) instead of PNG decodes;
+* batches are returned as **uint8** and normalized to [0,1] on DEVICE
+  inside the train step — 4× fewer bytes through the (tunneled)
+  host→device transfer and zero host-side f32 conversion.
 
 Determinism: batch ``i`` derives its RNG from ``(seed, i)`` regardless of
 thread scheduling, so runs reproduce exactly.
@@ -14,22 +25,48 @@ thread scheduling, so runs reproduce exactly.
 from __future__ import annotations
 
 import concurrent.futures as cf
-from collections import deque
+import threading
+from collections import OrderedDict, deque
 from typing import List, Optional, Sequence
 
 import numpy as np
 
+_CACHE_BYTES = 512 * 1024 * 1024
+_cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+_cache_size = 0
+_cache_lock = threading.Lock()
 
-def load_crop(path: str, rng: np.random.Generator, patch: int,
-              resize: int) -> np.ndarray:
-    """Reference train_transform: resize (512,512) + RandomCrop(256)
-    (/root/reference/trans_train.py:20-26)."""
+
+def _load_resized(path: str, resize: int) -> np.ndarray:
+    """Decode + bilinear-resize to [resize, resize, 3] uint8, LRU-cached."""
+    global _cache_size
+    key = (path, resize)
+    with _cache_lock:
+        if key in _cache:
+            _cache.move_to_end(key)
+            return _cache[key]
     from PIL import Image
 
     img = Image.open(path).convert("RGB").resize(
         (resize, resize), Image.BILINEAR
     )
-    arr = np.asarray(img, np.float32) / 255.0
+    arr = np.asarray(img, np.uint8)
+    with _cache_lock:
+        if key not in _cache:
+            _cache[key] = arr
+            _cache_size += arr.nbytes
+            while _cache_size > _CACHE_BYTES and len(_cache) > 1:
+                _, old = _cache.popitem(last=False)
+                _cache_size -= old.nbytes
+    return arr
+
+
+def load_crop(path: str, rng: np.random.Generator, patch: int,
+              resize: int) -> np.ndarray:
+    """Reference train_transform: resize (512,512) + RandomCrop(256)
+    (/root/reference/trans_train.py:20-26). Returns uint8 — trainers
+    normalize on device."""
+    arr = _load_resized(path, resize)
     y = rng.integers(0, resize - patch + 1)
     x = rng.integers(0, resize - patch + 1)
     return arr[y : y + patch, x : x + patch]

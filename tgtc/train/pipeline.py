@@ -554,7 +554,11 @@ class Pipeline:
             return jnp.pad(x, ((0, 0), (0, d - x.shape[-1])))
 
         feat_fn = jax.jit(
-            lambda imgs: _fit_dim(vgg_style_feature(vgg, vgg_params, imgs))
+            lambda imgs: _fit_dim(vgg_style_feature(
+                vgg, vgg_params,
+                imgs.astype(jnp.float32) / 255.0
+                if imgs.dtype == jnp.uint8 else imgs,
+            ))
         )
         key = jax.random.PRNGKey(cfg.seed + 6)
         patch = self.vae_patch
