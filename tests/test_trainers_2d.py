@@ -78,6 +78,27 @@ class TestTransformerTrain:
             first_leaf(state2.params, "embedding"), before["embedding"]
         )
 
+    def test_uint8_batches_bitwise_match_f32(self, net):
+        """uint8 batches (the production prefetcher output since round 3)
+        divide by 255 ON DEVICE — same values as the f32 path; XLA may
+        fuse the divide differently, so equality is up to fusion-level
+        rounding (measured ~1e-7 relative)."""
+        model, params = net
+        cfg = TransformerTrainConfig()
+        step = make_transformer_train_step(model, cfg)
+        rng = np.random.default_rng(0)
+        c8 = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+        s8 = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+        k = jax.random.PRNGKey(3)
+        # build both states before stepping: the step donates its state
+        st1 = init_transformer_train(jax.tree.map(jnp.copy, params), cfg)
+        st2 = init_transformer_train(jax.tree.map(jnp.copy, params), cfg)
+        _, m8 = step(st1, jnp.asarray(c8), jnp.asarray(s8), k)
+        _, mf = step(st2, jnp.asarray(c8, jnp.float32) / 255.0,
+                     jnp.asarray(s8, jnp.float32) / 255.0, k)
+        a, b = float(m8["loss"]), float(mf["loss"])
+        assert abs(a - b) / max(abs(b), 1e-9) < 1e-5, (a, b)
+
     def test_loss_decreases_overfit(self, net):
         model, params = net
         cfg = TransformerTrainConfig()
