@@ -51,6 +51,7 @@ def _load_resized(path: str, resize: int) -> np.ndarray:
         (resize, resize), Image.BILINEAR
     )
     arr = np.asarray(img, np.uint8)
+    arr.setflags(write=False)  # crops are views into the shared cache
     with _cache_lock:
         if key not in _cache:
             _cache[key] = arr
@@ -73,7 +74,8 @@ def load_crop(path: str, rng: np.random.Generator, patch: int,
 
 
 class CropBatchPrefetcher:
-    """Yields [B, P, P, 3] float32 random-crop batches, decoding ahead.
+    """Yields [B, P, P, 3] **uint8** random-crop batches, decoding ahead
+    (trainers normalize to [0,1] on device).
 
     ``depth`` batches stay in flight; ``close()`` (or context exit) stops
     the pool. Single-consumer."""

@@ -24,6 +24,25 @@ class CompositeOutput(NamedTuple):
     acc: jnp.ndarray      # [R]     accumulated opacity
 
 
+def sigma_weights(sigma: jnp.ndarray, t_values: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample compositing weights from (post-noise) density alone.
+    The single home of the quadrature math — :func:`alpha_composite`
+    computes its weights HERE, so a sigma-only render pass (the stylized
+    coarse pass: sample_pdf consumes weights, coarse rgb is discarded)
+    is identical-by-construction to the full composite."""
+    delta = t_values[..., 1:] - t_values[..., :-1]
+    delta = jnp.concatenate(
+        [delta, jnp.full_like(delta[..., :1], 1e10)], axis=-1
+    )
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * delta)
+    # Exclusive cumulative transmittance: T_i = prod_{j<i} (1 - alpha_j).
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = jnp.concatenate(
+        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1
+    )
+    return alpha * trans
+
+
 def alpha_composite(
     rgb: jnp.ndarray,
     sigma: jnp.ndarray,
@@ -42,20 +61,10 @@ def alpha_composite(
             the ReLU (only when ``key`` is provided) —
             reference /root/reference/utils.py:372-376.
     """
-    delta = t_values[..., 1:] - t_values[..., :-1]
-    delta = jnp.concatenate(
-        [delta, jnp.full_like(delta[..., :1], 1e10)], axis=-1
-    )
-
     if key is not None and noise_std > 0.0:
         sigma = sigma + jax.random.normal(key, sigma.shape, sigma.dtype) * noise_std
 
-    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * delta)
-
-    # Exclusive cumulative transmittance: T_i = prod_{j<i} (1 - alpha_j).
-    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
-    trans = jnp.concatenate([jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
-    weights = alpha * trans
+    weights = sigma_weights(sigma, t_values)
 
     rgb_exp = jnp.sum(weights[..., None] * rgb, axis=-2)
     t_exp = jnp.sum(weights * t_values, axis=-1)
@@ -64,24 +73,6 @@ def alpha_composite(
         rgb_exp = rgb_exp + (1.0 - acc[..., None])
 
     return CompositeOutput(rgb=rgb_exp, t_exp=t_exp, weights=weights, acc=acc)
-
-
-def sigma_weights(sigma: jnp.ndarray, t_values: jnp.ndarray) -> jnp.ndarray:
-    """Per-sample compositing weights from density alone — identical math
-    to :func:`alpha_composite` (no noise), without touching any radiance.
-    Lets a render pass that only needs importance weights (the stylized
-    coarse pass — sample_pdf consumes weights, the coarse rgb is discarded)
-    skip the whole per-point color computation."""
-    delta = t_values[..., 1:] - t_values[..., :-1]
-    delta = jnp.concatenate(
-        [delta, jnp.full_like(delta[..., :1], 1e10)], axis=-1
-    )
-    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * delta)
-    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
-    trans = jnp.concatenate(
-        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1
-    )
-    return alpha * trans
 
 
 def alpha_composite_wild(

@@ -39,6 +39,7 @@ from tgtc.models.transformer import TransformerConfig
 from tgtc.models.vae import VaeConfig
 from tgtc.parallel import get_mesh
 from tgtc.train.checkpoint import CheckpointManager
+from tgtc.utils.img import from_uint8
 from tgtc.utils.logging import MetricsLogger, SegmentTimer
 
 
@@ -555,10 +556,7 @@ class Pipeline:
 
         feat_fn = jax.jit(
             lambda imgs: _fit_dim(vgg_style_feature(
-                vgg, vgg_params,
-                imgs.astype(jnp.float32) / 255.0
-                if imgs.dtype == jnp.uint8 else imgs,
-            ))
+                vgg, vgg_params, from_uint8(imgs)))
         )
         key = jax.random.PRNGKey(cfg.seed + 6)
         patch = self.vae_patch
@@ -658,8 +656,13 @@ class Pipeline:
             else:
                 sstate, metrics = step_fn(sstate, data, key)
                 step += 1
-            if (step - last_sync >= max(self._sync_every, 2 * k)
-                    or step >= cfg.total_step):
+            # _sync_every == 1 means the multi-device CPU mesh, whose
+            # in-process collectives deadlock with >1 sharded step queued
+            # — sync after EVERY dispatch there; real chips pipeline 2
+            # K-step chunks between syncs
+            sync_gap = (1 if self._sync_every == 1
+                        else max(self._sync_every, 2 * k))
+            if step - last_sync >= sync_gap or step >= cfg.total_step:
                 jax.block_until_ready(metrics["loss"])
                 last_sync = step
             if step // cfg.i_print > last_log // cfg.i_print:

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tgtc.utils.img import to_uint8
 from tgtc.models.nerf import NerfMLP
 from tgtc.ops.sampling import merge_and_resample_fine, sample_along_rays_uniform
 from tgtc.render.style import style_forward
@@ -171,9 +172,9 @@ def render_stylized_frames_fused(
     def finalize(rgbs, ts):
         rgb = jnp.concatenate(rgbs, 0)[:n]
         t = jnp.concatenate(ts, 0)[:n]
-        rgb8 = (jnp.clip(rgb, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+        rgb8 = to_uint8(rgb)
         t = (t - t.min()) / (t.max() - t.min() + 1e-7)
-        t8 = (t * 255.0 + 0.5).astype(jnp.uint8)
+        t8 = to_uint8(t)
         return rgb8.reshape(h, w, 3), t8.reshape(h, w, 1)
 
     def dispatch_frame(s, f):

@@ -102,7 +102,7 @@ def make_temporal_debug_fn(
             params, content, coor, cps, style, patch_origin, key,
             jnp.zeros((), jnp.int32),
         )
-        u8 = lambda x: (jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+        from tgtc.utils.img import to_uint8 as u8
         b3 = lambda m: jnp.broadcast_to(m, m.shape[:-1] + (3,))
         return {
             "stylized_content": u8(ics),

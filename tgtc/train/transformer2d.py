@@ -27,6 +27,7 @@ from flax import struct
 from jax.sharding import Mesh
 
 from tgtc.models.stytrans import StyTrans
+from tgtc.utils.img import from_uint8, to_uint8
 from tgtc.parallel.mesh import data_sharding
 
 
@@ -121,16 +122,13 @@ def make_collage_fn(model: StyTrans):
 
     @jax.jit
     def collage(params, content, style):
-        if content.dtype == jnp.uint8:
-            content = content.astype(jnp.float32) / 255.0
-        if style.dtype == jnp.uint8:
-            style = style.astype(jnp.float32) / 255.0
+        content, style = from_uint8(content), from_uint8(style)
         ics, _ = model.apply(params, content, style, method=model.stylize)
         rows = [content, style, ics]
         grid = jnp.concatenate(
             [jnp.concatenate(list(r), axis=1) for r in rows], axis=0
         )
-        return (jnp.clip(grid, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+        return to_uint8(grid)
 
     return collage
 
@@ -152,11 +150,8 @@ def make_transformer_train_step(
 
     def step_fn(state: TransformerTrainState, content, style, key):
         # uint8 batches normalize ON DEVICE (4× fewer host→device bytes;
-        # fuses into the first conv) — bitwise-identical to host /255
-        if content.dtype == jnp.uint8:
-            content = content.astype(jnp.float32) / 255.0
-        if style.dtype == jnp.uint8:
-            style = style.astype(jnp.float32) / 255.0
+        # fuses into the first conv)
+        content, style = from_uint8(content), from_uint8(style)
         if mesh is not None:
             shard = data_sharding(mesh, 4)
             content = jax.lax.with_sharding_constraint(content, shard)
