@@ -118,6 +118,16 @@ def test_dropout_keep_fraction():
     assert abs(m.mean() - keep) < 5e-3
 
 
+@pytest.mark.parametrize("d", [32, 128])
+def test_head_dims(d):
+    """d_head other than the production 64 (e.g. d_model 256 / 8 heads)."""
+    q, k, v = _qkv(jax.random.PRNGKey(6), 1, 2, 200, 200, d)
+    sc = 1 / np.sqrt(d)
+    o = FA(q, k, v, sm_scale=sc, block_q=128, block_k=128)
+    o_ref = attention_reference(q, k, v, sc)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 5e-3
+
+
 def test_bf16_path():
     q, k, v = _qkv(jax.random.PRNGKey(4), 1, 2, 260, 260, 64, jnp.bfloat16)
     sc = 1 / np.sqrt(64)
