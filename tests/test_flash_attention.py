@@ -158,6 +158,17 @@ def test_flash_under_shard_map(cpu_mesh8):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_extreme_logits_stable():
+    """Online softmax must stay finite with huge logit magnitudes (the
+    running-max rescale, not naive exp) and match the XLA softmax."""
+    q, k, v = _qkv(jax.random.PRNGKey(8), 1, 1, 200, 200, 64)
+    q = q * 100.0
+    o = FA(q, k, v, sm_scale=1.0, block_q=128, block_k=128)
+    assert bool(jnp.isfinite(o).all())
+    o_ref = attention_reference(q, k, v, 1.0)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 5e-3
+
+
 def test_requires_seed():
     q, k, v = _qkv(jax.random.PRNGKey(5), 1, 1, 128, 128, 64)
     with pytest.raises(ValueError):
