@@ -35,6 +35,12 @@ def main():
                     help="run the full style chain on the coarse pass "
                          "(pre-round-3 behavior); default is the "
                          "production sigma-only coarse")
+    ap.add_argument("--frames_per_dispatch", type=int, default=1,
+                    help="tape N frames' rays through one contiguous block "
+                         "stream (the kernel is (s,f)-indexed per ray, so "
+                         "frames can share a launch); amortizes the "
+                         "per-frame tail-block padding — VERDICT r2 "
+                         "item 9's experiment")
     args = ap.parse_args()
     key = jax.random.PRNGKey(0)
     nerf_cfg = NerfConfig()
@@ -60,24 +66,29 @@ def main():
     acc = fold(jnp.zeros(()), out)
     float(np.asarray(acc))  # compile + sync
 
-    blocks_per_frame = -(-H * W // BLOCK)
-    reps = 2
+    # frames_per_dispatch=N tapes N frames through one contiguous ray
+    # stream: blocks = ceil(N*H*W / BLOCK) instead of N * ceil(H*W / BLOCK),
+    # so only the tape's LAST block pads (per-frame padding amortizes away).
+    fpd = args.frames_per_dispatch
+    blocks_per_tape = -(-fpd * H * W // BLOCK)
+    reps = max(1, 2 // fpd)
     acc = jnp.zeros(())
     t0 = time.perf_counter()
     for r in range(reps):
-        for b in range(blocks_per_frame):
+        for b in range(blocks_per_tape):
             out = rend.render(ro, rd, sid, fid, jax.random.fold_in(key, b))
             acc = fold(acc, out)
     float(np.asarray(acc))
     dt = time.perf_counter() - t0
 
-    frames_per_min = 60.0 * reps / dt
+    frames_per_min = 60.0 * reps * fpd / dt
     print(json.dumps({
         "metric": "stylized_frames_per_min_1008x756",
         "value": round(frames_per_min, 2),
         "unit": "frames/min",
-        "rays_per_sec": round(reps * blocks_per_frame * BLOCK / dt, 1),
+        "rays_per_sec": round(reps * blocks_per_tape * BLOCK / dt, 1),
         "coarse_rgb": args.coarse_rgb,
+        "frames_per_dispatch": fpd,
     }))
 
 
