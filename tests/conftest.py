@@ -75,3 +75,21 @@ def synthetic_llff_dir(tmp_path_factory):
     arr = np.concatenate([poses_disk.reshape(n, 15), bds], axis=1)
     np.save(root / "poses_bounds.npy", arr)
     return str(root)
+
+
+@pytest.fixture
+def private_llff_dir(synthetic_llff_dir, tmp_path):
+    """Per-test copy of the synthetic scene. The pipeline writes
+    ``stylized_gen_{factor}/`` INTO the scene dir (reference layout,
+    /root/reference/dataset.py:438) and ``ensure_style2d`` skip-if-exists
+    resumes on it — so tests that RUN the 2D stack must not share the
+    session-scoped scene dir, or whichever runs first short-circuits the
+    rest (the C1-collage assertion caught exactly that)."""
+    import glob
+    import shutil
+
+    scene_dir = str(tmp_path / "scene")
+    shutil.copytree(synthetic_llff_dir, scene_dir)
+    for leftover in glob.glob(os.path.join(scene_dir, "stylized_gen_*")):
+        shutil.rmtree(leftover)
+    return scene_dir

@@ -16,7 +16,7 @@ from tgtc.train.pipeline import Pipeline
 
 @pytest.mark.slow
 def test_fused_stylized_render_through_pipeline(
-    synthetic_llff_dir, tmp_path, monkeypatch
+    private_llff_dir, tmp_path, monkeypatch
 ):
     from PIL import Image
 
@@ -31,7 +31,7 @@ def test_fused_stylized_render_through_pipeline(
 
     cfg = Config(
         expname="fusedf", basedir=str(tmp_path / "logs"),
-        datadir=synthetic_llff_dir, styledir=str(styles), factor=1.0,
+        datadir=private_llff_dir, styledir=str(styles), factor=1.0,
         use_viewdir=True, netdepth=2, netwidth=32, netdepth_fine=2,
         netwidth_fine=32, embed_freq_coor=2, embed_freq_dir=1,
         N_samples=4, N_samples_fine=4, batch_size=128, batch_size_style=32,

@@ -27,22 +27,11 @@ def two_style_dir(tmp_path_factory):
 
 
 @pytest.mark.slow
-def test_two_styles_end_to_end(synthetic_llff_dir, two_style_dir, tmp_path):
-    # stylized_gen_{factor} is written INTO the scene dir (reference layout,
-    # /root/reference/dataset.py:438) — use a private copy so other pipeline
-    # tests' 1-style artifacts can't short-circuit ensure_style2d
-    import shutil
-
-    scene_dir = str(tmp_path / "scene")
-    shutil.copytree(synthetic_llff_dir, scene_dir)
-    for leftover in ("stylized_gen_1.0",):
-        p = os.path.join(scene_dir, leftover)
-        if os.path.isdir(p):
-            shutil.rmtree(p)
+def test_two_styles_end_to_end(private_llff_dir, two_style_dir, tmp_path):
     cfg = Config(
         expname="multistyle",
         basedir=str(tmp_path / "logs"),
-        datadir=scene_dir,
+        datadir=private_llff_dir,
         styledir=two_style_dir,
         factor=1.0,
         use_viewdir=True,

@@ -26,11 +26,11 @@ def style_dir(tmp_path_factory):
 
 
 @pytest.mark.slow
-def test_full_pipeline_smoke(synthetic_llff_dir, style_dir, tmp_path):
+def test_full_pipeline_smoke(private_llff_dir, style_dir, tmp_path):
     cfg = Config(
         expname="smoke",
         basedir=str(tmp_path / "logs"),
-        datadir=synthetic_llff_dir,
+        datadir=private_llff_dir,
         styledir=style_dir,
         factor=1.0,
         use_viewdir=True,
