@@ -97,6 +97,18 @@ def main():
         full = (time.perf_counter() - t0) / args.iters
 
     stall = max(0.0, (full - dev) / full)
+    # achieved TFLOP/s from the compiled program's own cost model (VERDICT
+    # r2 item 4: report vs the v5e bf16 peak of ~197 TFLOP/s). Flash
+    # attention's FLOPs live inside a custom call XLA can't cost, so with
+    # --attn flash this number undercounts (it is exact for --attn xla).
+    tflops = None
+    try:
+        ca = step_fn.lower(state, batch, batch, key).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        tflops = float(ca["flops"]) / dev / 1e12
+    except Exception as e:
+        print(f"[cost_analysis unavailable: {e}]", flush=True)
     print(json.dumps({
         "metric": "c1_step_seconds",
         "dtype": "f32" if args.f32 else "bf16",
@@ -105,6 +117,8 @@ def main():
         "with_prefetched_decode": round(full, 4),
         "host_stall_fraction": round(stall, 4),
         "steps_per_sec": round(1.0 / full, 2),
+        "achieved_tflops": None if tflops is None else round(tflops, 1),
+        "v5e_bf16_peak_tflops": 197,
     }))
 
 

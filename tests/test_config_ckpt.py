@@ -81,6 +81,21 @@ class TestCheckpoint:
         assert 1 not in steps and len(steps) == 2
         mgr.close()
 
+    def test_async_saves_overlap_and_finalize(self, tmp_path):
+        """In-loop saves return without blocking on disk IO; wait()/restore
+        observe every finalized step (the Phase-A loop relies on this)."""
+        from tgtc.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=8)
+        for s in range(5):
+            mgr.save(s, {"x": jnp.full(4, float(s))})  # no wait
+        mgr.save(5, {"x": jnp.full(4, 5.0)}, wait=True)
+        assert mgr.latest_step() == 5
+        restored = mgr.restore({"x": jnp.zeros(4)}, step=3)
+        np.testing.assert_array_equal(np.asarray(restored["x"]),
+                                      np.full(4, 3.0))
+        mgr.close()
+
     def test_train_state_roundtrip(self, tmp_path):
         from tgtc.models.nerf import NerfConfig
         from tgtc.train.checkpoint import CheckpointManager

@@ -45,6 +45,30 @@ class TestTrainStep:
         assert int(state.step) == 61
         assert np.isfinite(float(m["psnr_fine"]))
 
+    def test_k_step_scan_matches_sequential(self):
+        """One K=4 dispatch must be bit-identical to 4 sequential steps —
+        the key schedule folds state.step inside the body (the Phase-A
+        pipeline loop relies on this, mirroring Phase E)."""
+        cm, fm, s1 = init_state(jax.random.PRNGKey(0), TINY_NERF, TINY_TRAIN)
+        _, _, s2 = init_state(jax.random.PRNGKey(0), TINY_NERF, TINY_TRAIN)
+        step = make_train_step(cm, fm, TINY_TRAIN)
+        chunk = make_train_step(cm, fm, TINY_TRAIN, k_steps=4)
+        ro, rd, rgb = _toy_rays()
+        k = jax.random.PRNGKey(7)
+        seq_losses = []
+        for _ in range(4):
+            s1, m = step(s1, ro, rd, rgb, k)
+            seq_losses.append(float(m["loss"]))
+        s2, ms = chunk(s2, ro, rd, rgb, k)
+        np.testing.assert_array_equal(np.asarray(ms["loss"]),
+                                      np.asarray(seq_losses, np.float32))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            s1.params_fine, s2.params_fine,
+        )
+        assert int(s2.step) == 4
+
     def test_deterministic_given_key(self):
         cm, fm, s1 = init_state(jax.random.PRNGKey(0), TINY_NERF, TINY_TRAIN)
         _, _, s2 = init_state(jax.random.PRNGKey(0), TINY_NERF, TINY_TRAIN)

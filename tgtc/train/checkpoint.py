@@ -28,18 +28,36 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, step: int, state: Any, force: bool = False) -> None:
+    def save(self, step: int, state: Any, force: bool = False,
+             wait: bool = False) -> None:
+        """Start an (atomic) save of ``state`` at ``step``.
+
+        By default the disk write happens on orbax's background thread and
+        this returns immediately — in-loop saves no longer stall the async
+        dispatch pipeline (measured ~3.9 s/save on Phase A, 240 saves per
+        reference schedule). orbax writes to a temp dir and renames on
+        finalize, so a crash mid-write never leaves a restorable partial
+        checkpoint. Pass ``wait=True`` (or call :meth:`wait`) for the final
+        save of a phase so process exit cannot race the write.
+        """
         self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force
         )
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until all in-flight async saves are finalized."""
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
         """Restore into the structure of ``state_like`` (an abstract or
         concrete pytree of the same shape)."""
+        self._mgr.wait_until_finished()
         if step is None:
             step = self.latest_step()
         if step is None:
@@ -50,4 +68,5 @@ class CheckpointManager:
         )
 
     def close(self) -> None:
+        self._mgr.wait_until_finished()
         self._mgr.close()

@@ -102,17 +102,40 @@ def init_state(
     return coarse_model, fine_model, state
 
 
+def _maybe_scan_steps(step_fn, k_steps: int):
+    """Wrap a ``(state, rays_o, rays_d, rgb_gt, key)`` step body in a
+    ``lax.scan`` over K steps per dispatch. The per-step key folds
+    ``state.step`` INSIDE the body, so a K-scan with one key is
+    bit-identical to K sequential calls with that key (same property the
+    Phase-E scan asserts in tests/test_style3d.py). Metrics come back
+    stacked ``[K]``."""
+    if k_steps == 1:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def scan_fn(state, rays_o, rays_d, rgb_gt, key):
+        def body(st, _):
+            return step_fn(st, rays_o, rays_d, rgb_gt, key)
+
+        return jax.lax.scan(body, state, None, length=k_steps)
+
+    return jax.jit(scan_fn, donate_argnums=(0,))
+
+
 def make_train_step(
     coarse_model: NerfMLP,
     fine_model: NerfMLP,
     train_cfg: NerfTrainConfig,
     mesh: Optional[Mesh] = None,
+    k_steps: int = 1,
 ):
     """Build the jitted Phase-A train step.
 
     The returned function has signature
     ``(state, rays_o [T,3], rays_d [T,3], rgb_gt [T,3], key) -> (state, metrics)``
     where T is the full dataset size; batch indices are drawn inside.
+    With ``k_steps > 1`` one dispatch runs K steps via ``lax.scan``
+    (metrics stacked ``[K]``) — the single-step dispatch path costs
+    ~4 ms/step of host/tunnel latency at Phase-A shapes.
     """
     tx = make_optimizer(train_cfg)
     settings = train_cfg.render_settings(perturb=True)
@@ -165,7 +188,7 @@ def make_train_step(
         }
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return _maybe_scan_steps(step_fn, k_steps)
 
 
 def make_render_fn(
@@ -231,6 +254,7 @@ def make_fused_train_step(
     mesh: Optional[Mesh] = None,
     tile: int = 1024,
     fine_cfg: Optional[NerfConfig] = None,
+    k_steps: int = 1,
 ):
     """Phase-A train step on the fused Pallas trunk with the custom-VJP
     backward kernel (tgtc.ops.pallas.nerf_mlp_grad) — forward AND backward
@@ -326,7 +350,7 @@ def make_fused_train_step(
         }
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return _maybe_scan_steps(step_fn, k_steps)
 
 
 def fused_train_supported(nerf_cfg: NerfConfig, fine_cfg: Optional[NerfConfig],

@@ -204,17 +204,26 @@ class Pipeline:
             fused_train_supported, make_fused_train_step,
         )
 
+        # K-step lax.scan dispatch (same pattern as Phase E): the per-step
+        # key folds state.step INSIDE the step, so a K-scan is bit-identical
+        # to K sequential dispatches. K=1 on the CPU test mesh (in-process
+        # collectives deadlock with queued sharded steps) and when profiling
+        # (the trace wants per-step boundaries).
+        k = 1 if (self._sync_every == 1 or cfg.profile_dir) else 50
         if (cfg.use_pallas and jax.default_backend() != "cpu"
                 and fused_train_supported(self.nerf_cfg, self.nerf_cfg_fine,
                                           train_cfg)):
             # custom-VJP fused trunk: measured 70.7 vs 43.5 steps/s on v5e
             # (perf/bench_train.py measure_fused)
             print("[train] fused Pallas trunk (fwd+bwd kernels)", flush=True)
-            step_fn = make_fused_train_step(self.nerf_cfg, train_cfg,
-                                            mesh=self.mesh,
-                                            fine_cfg=self.nerf_cfg_fine)
+            builder = lambda ks: make_fused_train_step(
+                self.nerf_cfg, train_cfg, mesh=self.mesh,
+                fine_cfg=self.nerf_cfg_fine, k_steps=ks)
         else:
-            step_fn = make_train_step(cm, fm, train_cfg, mesh=self.mesh)
+            builder = lambda ks: make_train_step(
+                cm, fm, train_cfg, mesh=self.mesh, k_steps=ks)
+        step_fn = builder(1)
+        chunk_fn = step_fn if k == 1 else builder(k)
         key = jax.random.PRNGKey(cfg.seed + 1)
         profiling = False
         if cfg.profile_dir:
@@ -226,26 +235,40 @@ class Pipeline:
         # host-side step counter: int(state.step) every iteration forces a
         # device sync per step and caps throughput far below the async
         # dispatch rate (measured 25 vs 70 steps/s with the fused kernel).
-        # Still sync every 64 steps — fully unbounded dispatch aborts the
+        # Still sync periodically — fully unbounded dispatch aborts the
         # runtime once a few hundred donated steps are in flight.
         step = int(state.step)
+        last_log = last_ckpt = last_sync = step
         while step < cfg.origin_step:
-            state, metrics = step_fn(state, rays_o, rays_d, rgb_gt, key)
-            step += 1
-            if step % self._sync_every == 0:
+            if k > 1 and cfg.origin_step - step >= k:
+                state, ms = chunk_fn(state, rays_o, rays_d, rgb_gt, key)
+                metrics = jax.tree.map(lambda x: x[-1], ms)
+                step += k
+            else:
+                state, metrics = step_fn(state, rays_o, rays_d, rgb_gt, key)
+                step += 1
+            sync_gap = (1 if self._sync_every == 1
+                        else max(self._sync_every, 2 * k))
+            if step - last_sync >= sync_gap or step >= cfg.origin_step:
                 jax.block_until_ready(metrics["loss"])
+                last_sync = step
             if profiling and step >= 20:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
                 profiling = False
-            if step % cfg.i_print == 0:
+            if step // cfg.i_print > last_log // cfg.i_print:
                 self.timer.start("log")
-                m = {k: float(v) for k, v in metrics.items()}
+                m = {kk: float(v) for kk, v in metrics.items()}
                 m.update(self.timer.report_and_reset())
                 self.log.log(step, m, prefix="ORIGIN TRAIN")
                 self.timer.start("model")
-            if step % 500 == 0 or step >= cfg.origin_step:
-                self.nerf_ckpt.save(step, jax.device_get(state))
+                last_log = step
+            if step // 500 > last_ckpt // 500 or step >= cfg.origin_step:
+                # async save: disk IO overlaps the next 500 steps; only the
+                # final save blocks (process may exit right after the loop)
+                self.nerf_ckpt.save(step, jax.device_get(state),
+                                    wait=step >= cfg.origin_step)
+                last_ckpt = step
         self._nerf_state = state
 
     # ------------------------------------------------------------- phase B
@@ -388,7 +411,8 @@ class Pipeline:
                             ),
                         )
                     if step % 1000 == 0 or step >= tcfg.max_iter:
-                        self.trans_ckpt.save(step, jax.device_get(tstate))
+                        self.trans_ckpt.save(step, jax.device_get(tstate),
+                                             wait=step >= tcfg.max_iter)
 
         # ---- C2 (decoder finetune with temporal loss)
         h, w, focal = self.scene.hwf
@@ -572,7 +596,8 @@ class Pipeline:
                 vstate, m = step_fn(vstate, x, key)
                 if (i + 1) % 500 == 0:
                     self.log.log(i + 1, m, prefix="VAE")
-        self.vae_ckpt.save(int(vstate.step), jax.device_get(vstate))
+        self.vae_ckpt.save(int(vstate.step), jax.device_get(vstate),
+                           wait=True)
         return model, vstate
 
     # ------------------------------------------------------------- phase E
@@ -669,7 +694,8 @@ class Pipeline:
                 self.log.log(step, metrics, prefix="STYLE TRAIN")
                 last_log = step
             if step // 500 > last_ckpt // 500 or step >= cfg.total_step:
-                self.style_ckpt.save(step, jax.device_get(sstate))
+                self.style_ckpt.save(step, jax.device_get(sstate),
+                                     wait=step >= cfg.total_step)
                 last_ckpt = step
         self._style = (concat_model, style_model, sstate)
 
