@@ -1,7 +1,8 @@
 """Headline benchmark: NeRF render throughput (rays/sec/chip).
 
 Workload parity with the reference's render path: LLFF-fern-shaped frame
-(756 x 1008 rays), coarse 64 + fine 128 samples/ray, full-size trunk
+(756 x 1008 rays), coarse 64 + fine 64 samples/ray (the fine MLP evaluates
+the merged 128 samples, /root/reference/configs/fern.txt:16-17), full-size trunk
 (D=8, W=256, viewdirs) — the reference renders this with a chunked PyTorch
 loop (`batchify`, /root/reference/utils.py:435; `--chunk 1024` recommended,
 /root/reference/README.md:32).

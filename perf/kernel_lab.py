@@ -146,6 +146,57 @@ kernel_v2 = _make_split_kernel(2)
 kernel_v3 = _make_split_kernel(4)
 
 
+def kernel_v4(pts_ref, dirs_ref, w1_ref, w2_ref, enc_ref, rgb_ref,
+              sigma_ref):
+    """Two sub-tiles with the layer chain EXPLICITLY interleaved (layer i
+    of chunk A emitted adjacent to layer i of chunk B) — tests whether
+    Mosaic's list scheduler needs the textual hint or already reorders the
+    independent chains of v2."""
+    f32, bf16 = jnp.float32, jnp.bfloat16
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32)
+
+    t = pts_ref.shape[1] // 2
+    w1, w2, enc = w1_ref[:], w2_ref[:], enc_ref[:]
+    sls = (slice(0, t), slice(t, 2 * t))
+    e_cs, e_ds = [], []
+    for sl in sls:
+        e_c, e_d = _encode(mm, enc, pts_ref[:, sl].astype(f32),
+                           dirs_ref[:, sl].astype(f32))
+        e_cs.append(e_c)
+        e_ds.append(e_d)
+
+    # trunk layers, interleaved across the two chunks
+    off = 0
+
+    def take(cols, rows=TRUNK_W):
+        nonlocal off
+        blk = w1[:rows, off: off + cols]
+        off += cols
+        return blk
+
+    w0, b0 = take(IN_C), take(1)
+    hs = [jnp.maximum(mm(w0, e_c) + b0.astype(f32), 0.0).astype(bf16)
+          for e_c in e_cs]
+    for i in range(1, 8):
+        if i == 5:  # skip + 1
+            wx, wh, b = take(IN_C), take(TRUNK_W), take(1)
+            hs = [mm(wh, h) + mm(wx, e_c) + b.astype(f32)
+                  for h, e_c in zip(hs, e_cs)]
+        else:
+            wh, b = take(TRUNK_W), take(1)
+            hs = [mm(wh, h) + b.astype(f32) for h in hs]
+        hs = [jnp.maximum(h, 0.0).astype(bf16) for h in hs]
+    wrm, brm = take(TRUNK_W), take(1)
+    brs = [jnp.maximum(mm(wrm, h) + brm.astype(f32), 0.0).astype(bf16)
+           for h in hs]
+    for sl, h, br, e_d in zip(sls, hs, brs, e_ds):
+        rgb, sigma = _heads(mm, w2, h, br, e_d)
+        rgb_ref[:, sl] = rgb.astype(rgb_ref.dtype)
+        sigma_ref[:, sl] = sigma.astype(sigma_ref.dtype)
+
+
 def ceiling_kernel(x_ref, w_ref, out_ref):
     """8 chained 256x256 bf16 matmuls, f32 accum — the MXU ceiling shape."""
     f32, bf16 = jnp.float32, jnp.bfloat16
@@ -238,7 +289,18 @@ def main():
     results["v0_prod"] = p / t0 / 1e6
     print("v0:", results["v0_prod"], file=sys.stderr, flush=True)
 
-    for name, kfn in (("v2_dual", kernel_v2), ("v3_quad", kernel_v3)):
+    # sigma-only trunk variant (the production coarse pass, round 3) —
+    # ~60% of the full kernel's FLOPs (no dir encoding / base_remap / rgb)
+    from tgtc.ops.pallas.nerf_mlp import fused_nerf_sigma_apply_t
+
+    ts = timeit(functools.partial(fused_nerf_sigma_apply_t, tile=tile),
+                w1, w2, enc, pts_t)
+    results["v0_sigma_only"] = p / ts / 1e6
+    print("v0_sigma_only:", results["v0_sigma_only"], file=sys.stderr,
+          flush=True)
+
+    for name, kfn in (("v2_dual", kernel_v2), ("v3_quad", kernel_v3),
+                      ("v4_interleaved", kernel_v4)):
         try:
             fn = jax.jit(functools.partial(run_variant, kfn, tile=tile))
             # correctness vs production on one tile

@@ -24,8 +24,12 @@ import numpy as np
 
 from tgtc.models.nerf import NerfConfig
 from tgtc.models.style_field import StyleFieldConfig, init_latents, make_style_mlps
-from tgtc.ops.composite import alpha_composite
-from tgtc.ops.pallas.nerf_mlp import fused_nerf_apply_t, pack_nerf_params
+from tgtc.ops.composite import alpha_composite, sigma_weights
+from tgtc.ops.pallas.nerf_mlp import (
+    fused_nerf_apply_t,
+    fused_nerf_sigma_apply_t,
+    pack_nerf_params,
+)
 from tgtc.ops.pallas.style_kernel import fused_style_apply_t, pack_style_params
 from tgtc.ops.sampling import (
     merge_two_sorted,
@@ -62,22 +66,33 @@ def main():
     rd = jax.random.normal(key, (B, 3))
     rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
 
-    def stage(upto):
+    def stage(upto, coarse_rgb):
+        """Mirror make_fused_render_fn (tgtc/render/fast.py) stage by stage.
+        coarse_rgb=False is the production Phase-F/bench path (sigma-only
+        coarse pass, round 3)."""
+
         @jax.jit
         def f(ro, rd):
             _, ts = sample_along_rays_uniform(ro, rd, NC, near=0.0, far=1.0)
             pt, dt = _points_t(ro, rd, ts)
             if upto == "sample":
                 return jnp.sum(pt)
-            rgb_t, sigma_t = fused_nerf_apply_t(*pc, pt, dt)
-            if upto == "coarse_mlp":
-                return jnp.sum(rgb_t)
-            rgb_c = rgb_t.reshape(3, B, NC).transpose(1, 2, 0)
-            comp = alpha_composite(rgb_c, sigma_t.reshape(B, NC), ts)
+            if coarse_rgb:
+                rgb_t, sigma_t = fused_nerf_apply_t(*pc, pt, dt)
+                if upto == "coarse_mlp":
+                    return jnp.sum(rgb_t)
+                rgb_c = rgb_t.reshape(3, B, NC).transpose(1, 2, 0)
+                comp = alpha_composite(rgb_c, sigma_t.reshape(B, NC), ts)
+                weights = comp.weights
+            else:
+                sig_t = fused_nerf_sigma_apply_t(*pc, pt)
+                if upto == "coarse_mlp":
+                    return jnp.sum(sig_t)
+                weights = sigma_weights(sig_t.reshape(B, NC), ts)
             if upto == "coarse_comp":
-                return jnp.sum(comp.rgb)
+                return jnp.sum(weights)
             ts_mid = 0.5 * (ts[..., 1:] + ts[..., :-1])
-            t_new = sample_pdf(ts_mid, comp.weights[..., 1:-1], NFINE)
+            t_new = sample_pdf(ts_mid, weights[..., 1:-1], NFINE)
             ts_f = jnp.sort(jnp.concatenate([ts, t_new], -1), -1)
             if upto == "resample_sort":
                 return jnp.sum(ts_f)
@@ -91,14 +106,18 @@ def main():
 
         return f
 
-    prev = 0.0
-    print(f"== stage bisect (B={B}) ==")
-    for upto in ["sample", "coarse_mlp", "coarse_comp", "resample_sort",
-                 "fine_mlp", "full"]:
-        t = timeit(stage(upto), ro, rd)
-        print(f"  {upto:14s}: {t * 1000:7.1f} ms (+{(t - prev) * 1000:6.1f})")
-        prev = t
-    print(f"  full pipeline → {B / prev:,.0f} rays/s")
+    for coarse_rgb in (False, True):
+        prev = 0.0
+        label = "coarse_rgb=True" if coarse_rgb else \
+            "sigma-only coarse (production)"
+        print(f"== stage bisect (B={B}, {label}) ==")
+        for upto in ["sample", "coarse_mlp", "coarse_comp", "resample_sort",
+                     "fine_mlp", "full"]:
+            t = timeit(stage(upto, coarse_rgb), ro, rd)
+            print(f"  {upto:14s}: {t * 1000:7.1f} ms "
+                  f"(+{(t - prev) * 1000:6.1f})")
+            prev = t
+        print(f"  full pipeline → {B / prev:,.0f} rays/s")
 
     # sort vs merge
     _, ts = jax.jit(lambda o, d: sample_along_rays_uniform(o, d, NC))(ro, rd)
