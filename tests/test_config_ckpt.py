@@ -96,6 +96,26 @@ class TestCheckpoint:
                                       np.full(4, 3.0))
         mgr.close()
 
+    def test_save_device_async_roundtrip_and_order(self, tmp_path):
+        """save_device_async fetches device states on a background thread
+        (the in-loop jax.device_get cost ~6.7 s through the tunneled TPU);
+        wait() observes every step, values round-trip exactly, and the
+        donation-safety snapshot pattern (non-donating jnp.copy) preserves
+        the value even if the source buffer is mutated afterwards."""
+        from tgtc.train.checkpoint import CheckpointManager
+
+        snap = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=8)
+        for s in range(5):  # exceeds the 2-deep fetch backpressure window
+            mgr.save_device_async(s, snap({"x": jnp.full(4, float(s))}))
+        mgr.save_device_async(5, snap({"x": jnp.full(4, 5.0)}), wait=True)
+        assert mgr.latest_step() == 5
+        for s in (0, 3, 5):
+            restored = mgr.restore({"x": jnp.zeros(4)}, step=s)
+            np.testing.assert_array_equal(np.asarray(restored["x"]),
+                                          np.full(4, float(s)))
+        mgr.close()
+
     def test_train_state_roundtrip(self, tmp_path):
         from tgtc.models.nerf import NerfConfig
         from tgtc.train.checkpoint import CheckpointManager

@@ -9,7 +9,8 @@ CheckpointManager: explicit step metadata, atomic saves, retention policy
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Any, List, Optional
 
 import jax
 import orbax.checkpoint as ocp
@@ -27,6 +28,8 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, create=True
             ),
         )
+        self._fetcher: Optional[ThreadPoolExecutor] = None
+        self._pending: List[Future] = []
 
     def save(self, step: int, state: Any, force: bool = False,
              wait: bool = False) -> None:
@@ -46,18 +49,56 @@ class CheckpointManager:
         if wait:
             self._mgr.wait_until_finished()
 
+    def save_device_async(self, step: int, state: Any,
+                          wait: bool = False) -> None:
+        """Save ``state`` (DEVICE arrays) without blocking the train loop.
+
+        ``jax.device_get`` of a full train state costs ~6.7 s through the
+        tunneled TPU's D2H path (measured, 14 MB Phase-A state) — in-loop
+        it was most of the gap between Phase A's wall clock and its device
+        rate. This moves the fetch onto a background thread: the caller
+        passes a state no later computation donates (use a jitted
+        non-donating ``jnp.copy`` snapshot, ~10 ms), the worker fetches it
+        and hands it to orbax's own async save. A single worker preserves
+        orbax's increasing-step order; at most 2 fetches are pending
+        (backpressure blocks on the oldest) so snapshots can't pile up in
+        HBM if the tunnel is slower than the checkpoint cadence.
+        """
+        self._drain_done()
+        if self._fetcher is None:
+            self._fetcher = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="tgtc-ckpt-fetch"
+            )
+        while len(self._pending) >= 2:  # backpressure, keep cadence
+            self._pending.pop(0).result()
+
+        def job() -> None:
+            host = jax.device_get(state)
+            self._mgr.save(step, args=ocp.args.StandardSave(host))
+
+        self._pending.append(self._fetcher.submit(job))
+        if wait:
+            self.wait()
+
+    def _drain_done(self) -> None:
+        """Drop finished fetch jobs, re-raising any background failure."""
+        while self._pending and self._pending[0].done():
+            self._pending.pop(0).result()
+
     def wait(self) -> None:
         """Block until all in-flight async saves are finalized."""
+        while self._pending:
+            self._pending.pop(0).result()
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
-        self._mgr.wait_until_finished()
+        self.wait()
         return self._mgr.latest_step()
 
     def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
         """Restore into the structure of ``state_like`` (an abstract or
         concrete pytree of the same shape)."""
-        self._mgr.wait_until_finished()
+        self.wait()
         if step is None:
             step = self.latest_step()
         if step is None:
@@ -68,5 +109,8 @@ class CheckpointManager:
         )
 
     def close(self) -> None:
-        self._mgr.wait_until_finished()
+        self.wait()
+        if self._fetcher is not None:
+            self._fetcher.shutdown(wait=True)
+            self._fetcher = None
         self._mgr.close()

@@ -136,6 +136,19 @@ class Pipeline:
         )
 
     @property
+    def _snap(self):
+        """Jitted NON-donating on-device copy of a train state (~10 ms vs
+        ~6.7 s for an in-loop ``jax.device_get`` through the tunneled D2H
+        path). The copy is safe for a background checkpoint fetch: no later
+        train step donates it. One jitted callable serves every state
+        structure (jit caches per pytree)."""
+        fn = getattr(self, "_snap_fn", None)
+        if fn is None:
+            fn = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
+            self._snap_fn = fn
+        return fn
+
+    @property
     def _sync_every(self) -> int:
         """Training-loop dispatch depth. The CPU backend's in-process
         collectives deadlock (rendezvous timeout abort) when several
@@ -247,8 +260,11 @@ class Pipeline:
             else:
                 state, metrics = step_fn(state, rays_o, rays_d, rgb_gt, key)
                 step += 1
+            # 8 K-step chunks in flight (measured: 76.1 -> 77.6 steps/s vs
+            # 2 chunks; unbounded dispatch of donated steps aborts the
+            # runtime, so keep the window bounded)
             sync_gap = (1 if self._sync_every == 1
-                        else max(self._sync_every, 2 * k))
+                        else max(self._sync_every, 8 * k))
             if step - last_sync >= sync_gap or step >= cfg.origin_step:
                 jax.block_until_ready(metrics["loss"])
                 last_sync = step
@@ -264,10 +280,12 @@ class Pipeline:
                 self.timer.start("model")
                 last_log = step
             if step // 500 > last_ckpt // 500 or step >= cfg.origin_step:
-                # async save: disk IO overlaps the next 500 steps; only the
-                # final save blocks (process may exit right after the loop)
-                self.nerf_ckpt.save(step, jax.device_get(state),
-                                    wait=step >= cfg.origin_step)
+                # fully async save: on-device snapshot now, D2H fetch and
+                # disk IO on background threads overlapping the next 500
+                # steps; only the final save blocks (process may exit
+                # right after the loop)
+                self.nerf_ckpt.save_device_async(
+                    step, self._snap(state), wait=step >= cfg.origin_step)
                 last_ckpt = step
         self._nerf_state = state
 
@@ -411,8 +429,9 @@ class Pipeline:
                             ),
                         )
                     if step % 1000 == 0 or step >= tcfg.max_iter:
-                        self.trans_ckpt.save(step, jax.device_get(tstate),
-                                             wait=step >= tcfg.max_iter)
+                        self.trans_ckpt.save_device_async(
+                            step, self._snap(tstate),
+                            wait=step >= tcfg.max_iter)
 
         # ---- C2 (decoder finetune with temporal loss)
         h, w, focal = self.scene.hwf
@@ -683,10 +702,10 @@ class Pipeline:
                 step += 1
             # _sync_every == 1 means the multi-device CPU mesh, whose
             # in-process collectives deadlock with >1 sharded step queued
-            # — sync after EVERY dispatch there; real chips pipeline 2
+            # — sync after EVERY dispatch there; real chips pipeline 8
             # K-step chunks between syncs
             sync_gap = (1 if self._sync_every == 1
-                        else max(self._sync_every, 2 * k))
+                        else max(self._sync_every, 8 * k))
             if step - last_sync >= sync_gap or step >= cfg.total_step:
                 jax.block_until_ready(metrics["loss"])
                 last_sync = step
@@ -694,8 +713,8 @@ class Pipeline:
                 self.log.log(step, metrics, prefix="STYLE TRAIN")
                 last_log = step
             if step // 500 > last_ckpt // 500 or step >= cfg.total_step:
-                self.style_ckpt.save(step, jax.device_get(sstate),
-                                     wait=step >= cfg.total_step)
+                self.style_ckpt.save_device_async(
+                    step, self._snap(sstate), wait=step >= cfg.total_step)
                 last_ckpt = step
         self._style = (concat_model, style_model, sstate)
 
