@@ -274,7 +274,7 @@ class Pipeline:
                 profiling = False
             if step // cfg.i_print > last_log // cfg.i_print:
                 self.timer.start("log")
-                m = {kk: float(v) for kk, v in metrics.items()}
+                m = dict(metrics)  # logger batch-fetches device scalars
                 m.update(self.timer.report_and_reset())
                 self.log.log(step, m, prefix="ORIGIN TRAIN")
                 self.timer.start("model")

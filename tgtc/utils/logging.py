@@ -27,9 +27,31 @@ class MetricsLogger:
             self._fh = open(os.path.join(log_dir, f"{name}.jsonl"), "a")
 
     def log(self, step: int, metrics: Dict[str, Any], prefix: str = "") -> None:
+        # Batch all on-device scalars into ONE stack + fetch: float(v) per
+        # metric pays a device->host round-trip each (~tens of ms on the
+        # tunneled TPU — measured 0.16 s per log line, ~1.6 min over a
+        # 120k-step schedule). jax is imported lazily so the module stays
+        # dependency-free for host-only users.
+        on_device = {
+            k: v for k, v in metrics.items()
+            if type(v).__module__.partition(".")[0] in ("jax", "jaxlib")
+            and getattr(v, "size", 0) == 1
+        }
+        fetched: Dict[str, float] = {}
+        if on_device:
+            import jax.numpy as jnp
+            import numpy as np
+
+            vals = np.asarray(jnp.stack(
+                [jnp.asarray(v, jnp.float32).reshape(()) for v in
+                 on_device.values()]
+            ))
+            fetched = {k: float(x) for k, x in zip(on_device, vals)}
         scalars = {
-            k: float(v) for k, v in metrics.items()
-            if hasattr(v, "__float__") or isinstance(v, (int, float))
+            k: fetched[k] if k in fetched else float(v)
+            for k, v in metrics.items()
+            if k in fetched or isinstance(v, (int, float))
+            or (hasattr(v, "__float__") and getattr(v, "size", 1) == 1)
         }
         if self._fh:
             self._fh.write(json.dumps({"step": step, **scalars}) + "\n")
