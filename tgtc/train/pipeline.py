@@ -135,6 +135,35 @@ class Pipeline:
             os.path.join(self.exp_dir, "ckpt_vae"), max_to_keep=1
         )
 
+    def _png_bg(self, path: str, device_img) -> None:
+        """Fetch a device image and queue its PNG write OFF the train loop:
+        the tunneled D2H fetch of the 4.7 MB C1 collage costs ~2.4 s inline
+        (~2 min across the 5k-iter schedule). The image must be a fresh jit
+        output nothing later donates. Call :meth:`_drain_pngs` before
+        relying on the files."""
+        ex = getattr(self, "_img_fetcher", None)
+        if ex is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            ex = self._img_fetcher = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="tgtc-img-fetch"
+            )
+        from tgtc.utils import native
+
+        futs = [f for f in getattr(self, "_img_futs", []) if not f.done()]
+        futs.append(
+            ex.submit(lambda: native.write_png_async(
+                path, np.asarray(device_img)))
+        )
+        self._img_futs = futs
+
+    def _drain_pngs(self) -> None:
+        """Block until queued background image fetches are handed to the
+        native writer (re-raising any fetch failure)."""
+        for f in getattr(self, "_img_futs", []):
+            f.result()
+        self._img_futs = []
+
     @property
     def _snap(self):
         """Jitted NON-donating on-device copy of a train state (~10 ms vs
@@ -422,11 +451,9 @@ class Pipeline:
                     if step % 100 == 0:
                         self.log.log(step, m, prefix="TRANS TRAIN")
                     if step % 100 == 0 or step >= tcfg.max_iter:
-                        native.write_png_async(
+                        self._png_bg(
                             os.path.join(collage_dir, f"{step}.png"),
-                            np.asarray(
-                                collage_fn(tstate.params, content, style)
-                            ),
+                            collage_fn(tstate.params, content, style),
                         )
                     if step % 1000 == 0 or step >= tcfg.max_iter:
                         self.trans_ckpt.save_device_async(
@@ -526,9 +553,11 @@ class Pipeline:
         c2_ckpt.close()
         # barrier for the async C1-collage / C2-debug PNG writers — without
         # it, callers (and the e2e test) can observe missing files under a
-        # loaded host
+        # loaded host. Drain the background D2H fetches first: they feed
+        # the native writer queue.
         from tgtc.utils import native as _native
 
+        self._drain_pngs()
         errs = _native.wait_writes()
         if errs:
             raise IOError(f"{errs} async debug-image writes failed")
@@ -951,6 +980,11 @@ class Pipeline:
         self.train_style3d()
 
     def close(self):
+        self._drain_pngs()
+        ex = getattr(self, "_img_fetcher", None)
+        if ex is not None:
+            ex.shutdown(wait=True)
+            self._img_fetcher = None
         for m in (self.nerf_ckpt, self.style_ckpt, self.trans_ckpt,
                   self.vae_ckpt):
             m.close()
