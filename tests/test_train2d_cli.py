@@ -1,0 +1,108 @@
+"""Standalone 2D-trainer CLI (`tgtc.tools.train2d`) — parity with the
+reference's `train_style_modules.py` __main__ tasks and
+`trans_train.train_transformer` (/root/reference/train_style_modules.py:689-735,
+/root/reference/trans_train.py:66-82): each task runs a few tiny iterations
+end to end and leaves a restorable checkpoint + JSONL log."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tgtc.tools.train2d import build_parser, main
+
+
+def _write_images(d, n=3, size=40, seed=0):
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        Image.fromarray(
+            rng.integers(0, 255, (size, size, 3), np.uint8)
+        ).save(os.path.join(d, f"img_{i:03d}.png"))
+
+
+def _common(tmp_path, task, extra):
+    content = str(tmp_path / "content")
+    style = str(tmp_path / "style")
+    _write_images(content, seed=1)
+    _write_images(style, seed=2)
+    argv = [
+        "--task", task,
+        "--content_dir", content,
+        "--style_dir", style,
+        "--save_dir", str(tmp_path / "save"),
+        "--log_dir", str(tmp_path / "log"),
+        "--max_iter", "2",
+        "--batch_size", "2",
+        "--patch", "16",
+        "--print_interval", "1",
+        "--save_model_interval", "1",
+        "--n_threads", "2",
+    ] + extra
+    return argv
+
+
+def _ckpt_exists(tmp_path, name):
+    d = tmp_path / "save" / name
+    return d.exists() and any(d.iterdir())
+
+
+class TestTrain2dCli:
+    def test_parser_matches_reference_flags(self):
+        # every flag of the reference's standalone script parses
+        # (/root/reference/train_style_modules.py:691-727)
+        ns = build_parser().parse_args(
+            "--task vae --content_dir c --nerf_content_dir n --style_dir s "
+            "--vgg v.pth --no_ndc --no_reload --save_dir sv --ckp_num 3 "
+            "--log_dir lg --lr 1e-4 --lr_decay 5e-5 --max_iter 10 "
+            "--batch_size 8 --style_weight 2. --content_weight 1.0 "
+            "--temporal_weight 50. --n_threads 16 --save_model_interval 200 "
+            "--print_interval 20 --vae_d 4 --vae_w 512 --vae_latent 32 "
+            "--vae_kl_lambda 0.1".split()
+        )
+        assert ns.task == "vae" and ns.no_ndc and ns.vae_latent == 32
+
+    def test_vae_task(self, tmp_path):
+        argv = _common(tmp_path, "vae", ["--vae_w", "32", "--vae_latent", "4"])
+        assert main(argv) == 0
+        assert _ckpt_exists(tmp_path, "vae")
+
+    def test_finetune_decoder_task(self, tmp_path):
+        argv = _common(tmp_path, "finetune_decoder", [])
+        assert main(argv) == 0
+        assert _ckpt_exists(tmp_path, "adain_decoder")
+
+    def test_temporal_decoder_task(self, tmp_path):
+        h = w = 16
+        gen = tmp_path / "gen"
+        _write_images(str(gen), n=3, size=h, seed=3)
+        rng = np.random.default_rng(0)
+        coor = rng.uniform(size=(3, h, w, 3)).astype(np.float32) * 0.4
+        coor[..., 2] -= 2.5
+        cps = np.stack([np.eye(4, dtype=np.float32)] * 3)
+        np.savez(gen / "geometry.npz", coor_maps=coor, cps=cps,
+                 hwf=np.array([h, w, 15.0], np.float32))
+        argv = _common(tmp_path, "temporal_decoder",
+                       ["--nerf_content_dir", str(gen), "--no_ndc"])
+        assert main(argv) == 0
+        assert _ckpt_exists(tmp_path, "adain_temporal")
+
+    def test_transformer_task(self, tmp_path):
+        gen = tmp_path / "gen2"
+        _write_images(str(gen), n=3, size=40, seed=4)
+        argv = _common(tmp_path, "transformer",
+                       ["--nerf_content_dir", str(gen)])
+        assert main(argv) == 0
+        assert _ckpt_exists(tmp_path, "transformer")
+        # collage artifact (the reference's save_dir/test dump analog)
+        assert (tmp_path / "log" / "2.png").exists()
+
+    def test_transformer_resume(self, tmp_path):
+        gen = tmp_path / "gen3"
+        _write_images(str(gen), n=3, size=40, seed=5)
+        argv = _common(tmp_path, "transformer",
+                       ["--nerf_content_dir", str(gen)])
+        assert main(argv) == 0
+        # second invocation restores step==max_iter and exits immediately
+        assert main(argv) == 0
