@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
     # crops 256, /root/reference/trans_train.py:31-38)
     p.add_argument("--patch", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
+    # accepted-and-ignored, DEAD IN THE REFERENCE ITSELF: declared only in
+    # trans_train.train_transformer's signature/docstring
+    # (/root/reference/trans_train.py:80-81); transformer.py never reads
+    # them (same policy as the other dead flags, DESIGN.md)
+    p.add_argument("--position_embedding", type=str, default="sine")
+    p.add_argument("--hidden_dim", type=int, default=512)
     # train vae options (/root/reference/train_style_modules.py:723-727)
     p.add_argument("--vae_d", type=int, default=4)
     p.add_argument("--vae_w", type=int, default=512)
