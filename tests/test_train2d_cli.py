@@ -91,8 +91,11 @@ class TestTrain2dCli:
     def test_transformer_task(self, tmp_path):
         gen = tmp_path / "gen2"
         _write_images(str(gen), n=3, size=40, seed=4)
+        # hidden_dim is functional in tgtc (transformer width); a narrow
+        # net keeps the CPU compile fast
         argv = _common(tmp_path, "transformer",
-                       ["--nerf_content_dir", str(gen)])
+                       ["--nerf_content_dir", str(gen),
+                        "--hidden_dim", "64"])
         assert main(argv) == 0
         assert _ckpt_exists(tmp_path, "transformer")
         # collage artifact (the reference's save_dir/test dump analog)
@@ -102,7 +105,8 @@ class TestTrain2dCli:
         gen = tmp_path / "gen3"
         _write_images(str(gen), n=3, size=40, seed=5)
         argv = _common(tmp_path, "transformer",
-                       ["--nerf_content_dir", str(gen)])
+                       ["--nerf_content_dir", str(gen),
+                        "--hidden_dim", "64"])
         assert main(argv) == 0
         # second invocation restores step==max_iter and exits immediately
         assert main(argv) == 0

@@ -68,10 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
     # crops 256, /root/reference/trans_train.py:31-38)
     p.add_argument("--patch", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
-    # accepted-and-ignored, DEAD IN THE REFERENCE ITSELF: declared only in
-    # trans_train.train_transformer's signature/docstring
-    # (/root/reference/trans_train.py:80-81); transformer.py never reads
-    # them (same policy as the other dead flags, DESIGN.md)
+    # declared in trans_train.train_transformer but DEAD IN THE REFERENCE
+    # ITSELF (/root/reference/trans_train.py:80-81; transformer.py never
+    # reads them). position_embedding is parse-and-ignore like the other
+    # dead flags (DESIGN.md); hidden_dim is FUNCTIONAL here (transformer
+    # width), like steps_per_opt/num_workers in the main config.
     p.add_argument("--position_embedding", type=str, default="sine")
     p.add_argument("--hidden_dim", type=int, default=512)
     # train vae options (/root/reference/train_style_modules.py:723-727)
@@ -316,6 +317,7 @@ def run_transformer(args) -> int:
     # same backend-aware choices as the pipeline: flash attention + bf16
     # on TPU, XLA einsum + f32 elsewhere (tgtc/train/pipeline.py)
     mcfg = TransformerConfig(
+        d_model=args.hidden_dim,
         dtype=jnp.bfloat16 if jax.default_backend() != "cpu"
         else jnp.float32,
         attn_impl="flash" if jax.default_backend() == "tpu" else "xla",
