@@ -101,6 +101,100 @@ class TestTrain2dCli:
         # collage artifact (the reference's save_dir/test dump analog)
         assert (tmp_path / "log" / "2.png").exists()
 
+    def test_per_task_default_resolution(self):
+        # shared flags resolve to each task's reference defaults
+        # (train_style_modules.py:700-712 vs trans_train.py:72-79), and an
+        # explicit value equal to another task's default is honored
+        from tgtc.tools.train2d import _resolve_task_defaults
+
+        ns = build_parser().parse_args(["--task", "transformer"])
+        _resolve_task_defaults(ns)
+        assert ns.lr == 5e-4 and ns.max_iter == 5000
+        assert ns.style_weight == 10.0 and ns.content_weight == 7.0
+        assert ns.save_model_interval == 1000  # trans_train.py:79
+
+        ns = build_parser().parse_args(["--task", "vae"])
+        _resolve_task_defaults(ns)
+        assert ns.lr == 1e-4 and ns.lr_decay == 5e-5
+        assert ns.max_iter == 160000 and ns.save_model_interval == 200
+
+        # --lr 1e-4 equals the vae-script default but must survive for the
+        # transformer task (ADVICE r3: the old remap silently overrode it)
+        ns = build_parser().parse_args(
+            ["--task", "transformer", "--lr", "1e-4"])
+        _resolve_task_defaults(ns)
+        assert ns.lr == 1e-4 and ns.lr_decay == 1e-5
+
+    def test_content_filter_uses_basename(self, tmp_path):
+        # a parent path containing 'depth' must not exclude every image
+        from tgtc.tools.train2d import _content_images
+
+        d = tmp_path / "depth_run" / "gen"
+        _write_images(str(d), n=2)
+        _write_images(str(d), n=1)  # idempotent; now add a depth dump
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+            d / "depth_000.png")
+        paths = _content_images(str(d))
+        assert len(paths) == 2
+        assert all("depth_000" not in p for p in paths)
+
+    def test_temporal_decoder_count_mismatch_raises(self, tmp_path):
+        gen = tmp_path / "gen_bad"
+        _write_images(str(gen), n=3, size=16, seed=3)
+        coor = np.zeros((2, 16, 16, 3), np.float32)  # 2 != 3 images
+        cps = np.stack([np.eye(4, dtype=np.float32)] * 2)
+        np.savez(gen / "geometry.npz", coor_maps=coor, cps=cps,
+                 hwf=np.array([16, 16, 15.0], np.float32))
+        argv = _common(tmp_path, "temporal_decoder",
+                       ["--nerf_content_dir", str(gen), "--no_ndc"])
+        with pytest.raises(AssertionError, match="misalign"):
+            main(argv)
+
+    def test_vae_lr_decay_schedule(self):
+        # reference adjust_learning_rate parity: lr/(1+lr_decay*iter)
+        # (/root/reference/train_style_modules.py:180-184). With constant
+        # grads Adam's update magnitude equals the current lr (bias
+        # corrections cancel), so the decay is directly observable.
+        import jax.numpy as jnp
+
+        from tgtc.train.vae_trainer import VaeTrainConfig, _vae_tx
+
+        tcfg = VaeTrainConfig(lr=1e-4, lr_decay=1.0)
+        tx = _vae_tx(tcfg)
+        params = {"w": jnp.ones((2,))}
+        grads = {"w": jnp.ones((2,))}
+        st = tx.init(params)
+        mags = []
+        for _ in range(10):
+            upd, st = tx.update(grads, st, params)
+            mags.append(float(jnp.abs(upd["w"][0])))
+        # iter 0: lr/(1+0) = 1e-4; iter 9: lr/(1+9) = 1e-5
+        assert mags[0] == pytest.approx(1e-4, rel=1e-3)
+        assert mags[9] == pytest.approx(1e-5, rel=1e-3)
+
+    def test_adain_lr_decay_schedule(self):
+        import jax.numpy as jnp
+
+        from tgtc.train.adain_trainer import (
+            AdainTrainConfig, _decoder_only_tx,
+        )
+
+        cfg = AdainTrainConfig(lr=1e-4, lr_decay=1.0)
+        tx = _decoder_only_tx(cfg)
+        params = {"params": {"decode": {"w": jnp.ones((2,))},
+                             "vgg": {"w": jnp.ones((2,))}}}
+        grads = {"params": {"decode": {"w": jnp.ones((2,))},
+                            "vgg": {"w": jnp.ones((2,))}}}
+        st = tx.init(params)
+        mags = []
+        for _ in range(10):
+            upd, st = tx.update(grads, st, params)
+            mags.append(float(jnp.abs(upd["params"]["decode"]["w"][0])))
+            # frozen subtree stays zero
+            assert float(jnp.abs(upd["params"]["vgg"]["w"][0])) == 0.0
+        assert mags[0] == pytest.approx(1e-4, rel=1e-3)
+        assert mags[9] == pytest.approx(1e-5, rel=1e-3)
+
     def test_transformer_resume(self, tmp_path):
         gen = tmp_path / "gen3"
         _write_images(str(gen), n=3, size=40, seed=5)

@@ -38,6 +38,16 @@ def _list_images(d: str) -> List[str]:
     )
 
 
+def _content_images(d: str) -> List[str]:
+    """NeRF-render content images: drop the Phase-B depth/geometry dumps.
+    Filter on the BASENAME — a parent directory containing 'depth' or
+    'geometry' must not exclude everything (the reference filters filenames,
+    /root/reference/train_style_modules.py:87-90)."""
+    return [p for p in _list_images(d)
+            if "depth" not in os.path.basename(p)
+            and "geometry" not in os.path.basename(p)]
+
+
 def build_parser() -> argparse.ArgumentParser:
     # names/defaults: /root/reference/train_style_modules.py:691-727
     p = argparse.ArgumentParser(prog="tgtc.tools.train2d")
@@ -54,15 +64,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_dir", default="./pretrained/")
     p.add_argument("--ckp_num", type=int, default=3)
     p.add_argument("--log_dir", default="./logs/stylenet/")
-    p.add_argument("--lr", type=float, default=1e-4)
-    p.add_argument("--lr_decay", type=float, default=5e-5)
-    p.add_argument("--max_iter", type=int, default=160000)
+    # Shared flags whose REFERENCE DEFAULTS DIFFER PER TASK
+    # (train_style_modules.py:700-712 vs trans_train.py:72-79) parse as
+    # None sentinels and are resolved per task in _resolve_task_defaults —
+    # so an explicit value equal to one script's default is always honored.
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--lr_decay", type=float, default=None)
+    p.add_argument("--max_iter", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=8)
-    p.add_argument("--style_weight", type=float, default=2.0)
-    p.add_argument("--content_weight", type=float, default=1.0)
+    p.add_argument("--style_weight", type=float, default=None)
+    p.add_argument("--content_weight", type=float, default=None)
     p.add_argument("--temporal_weight", type=float, default=50.0)
     p.add_argument("--n_threads", type=int, default=16)
-    p.add_argument("--save_model_interval", type=int, default=200)
+    p.add_argument("--save_model_interval", type=int, default=None)
     p.add_argument("--print_interval", type=int, default=20)
     # patch size of the random crops (the reference's train_transform
     # crops 256, /root/reference/trans_train.py:31-38)
@@ -81,6 +95,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vae_latent", type=int, default=32)
     p.add_argument("--vae_kl_lambda", type=float, default=0.1)
     return p
+
+
+# reference defaults per task: train_style_modules.py:700-712 for the
+# vae/decoder script, trans_train.py:72-79 for train_transformer
+_TASK_DEFAULTS = {
+    "vae": dict(lr=1e-4, lr_decay=5e-5, max_iter=160000, style_weight=2.0,
+                content_weight=1.0, save_model_interval=200),
+    "finetune_decoder": dict(lr=1e-4, lr_decay=5e-5, max_iter=160000,
+                             style_weight=2.0, content_weight=1.0,
+                             save_model_interval=200),
+    "temporal_decoder": dict(lr=1e-4, lr_decay=5e-5, max_iter=160000,
+                             style_weight=2.0, content_weight=1.0,
+                             save_model_interval=200),
+    "transformer": dict(lr=5e-4, lr_decay=1e-5, max_iter=5000,
+                        style_weight=10.0, content_weight=7.0,
+                        save_model_interval=1000),
+}
+
+
+def _resolve_task_defaults(args) -> None:
+    """Fill the None-sentinel shared flags with the task's reference
+    defaults; explicitly passed values (even if equal to another task's
+    default) win."""
+    for k, v in _TASK_DEFAULTS[args.task].items():
+        if getattr(args, k) is None:
+            setattr(args, k, v)
 
 
 def _ckpt(args, name: str):
@@ -127,7 +167,8 @@ def run_vae(args) -> int:
     vcfg = VaeConfig(data_dim=1024, latent_dim=args.vae_latent,
                      width=args.vae_w, depth=args.vae_d,
                      kl_lambda=args.vae_kl_lambda)
-    tcfg = VaeTrainConfig(lr=args.lr, max_iter=args.max_iter,
+    tcfg = VaeTrainConfig(lr=args.lr, lr_decay=args.lr_decay,
+                          max_iter=args.max_iter,
                           batch_size=args.batch_size,
                           kl_lambda=args.vae_kl_lambda)
     model, state = init_vae_train(jax.random.PRNGKey(args.seed), vcfg, tcfg)
@@ -179,7 +220,8 @@ def _adain_setup(args, image_size: int):
     if dec_overlay is not None:
         params["params"]["decode"] = _filter_to(params["params"]["decode"],
                                                 dec_overlay)
-    cfg = AdainTrainConfig(lr=args.lr, content_weight=args.content_weight,
+    cfg = AdainTrainConfig(lr=args.lr, lr_decay=args.lr_decay,
+                           content_weight=args.content_weight,
                            style_weight=args.style_weight,
                            temporal_weight=args.temporal_weight,
                            max_iter=args.max_iter)
@@ -240,8 +282,13 @@ def run_temporal_decoder(args) -> int:
 
     geo = np.load(os.path.join(args.nerf_content_dir, "geometry.npz"))
     coor_maps, cps = geo["coor_maps"], geo["cps"]
-    c_paths = [p for p in _list_images(args.nerf_content_dir)
-               if "depth" not in p and "geometry" not in p]
+    c_paths = _content_images(args.nerf_content_dir)
+    assert len(c_paths) == coor_maps.shape[0] == cps.shape[0], (
+        f"{args.nerf_content_dir}: {len(c_paths)} render images but "
+        f"geometry.npz has {coor_maps.shape[0]} coor_maps / "
+        f"{cps.shape[0]} poses — extra/missing PNGs would misalign frames "
+        "with their geometry"
+    )
     renders = np.stack(
         [np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
          for p in c_paths], 0)
@@ -297,22 +344,14 @@ def run_transformer(args) -> int:
     )
     from tgtc.utils import native
 
-    # trans_train defaults differ from the vae/decoder script's
-    # (lr=5e-4, lr_decay=1e-5, max_iter=5000, style 10 / content 7,
-    # /root/reference/trans_train.py:72-79) — only apply them where the
-    # user left the shared flags at the script defaults.
-    defaults = build_parser().parse_args([])
-    lr = 5e-4 if args.lr == defaults.lr else args.lr
-    lr_decay = 1e-5 if args.lr_decay == defaults.lr_decay else args.lr_decay
-    max_iter = 5000 if args.max_iter == defaults.max_iter else args.max_iter
-    style_w = (10.0 if args.style_weight == defaults.style_weight
-               else args.style_weight)
-    content_w = (7.0 if args.content_weight == defaults.content_weight
-                 else args.content_weight)
+    # trans_train defaults (lr=5e-4, lr_decay=1e-5, max_iter=5000,
+    # style 10 / content 7, save every 1000 — /root/reference/
+    # trans_train.py:72-79) arrive via _resolve_task_defaults; explicit
+    # flags are always honored.
     tcfg = TransformerTrainConfig(
-        lr=lr, lr_decay=lr_decay, max_iter=max_iter,
-        batch_size=args.batch_size, style_weight=style_w,
-        content_weight=content_w, patch=args.patch,
+        lr=args.lr, lr_decay=args.lr_decay, max_iter=args.max_iter,
+        batch_size=args.batch_size, style_weight=args.style_weight,
+        content_weight=args.content_weight, patch=args.patch,
     )
     # same backend-aware choices as the pipeline: flash attention + bf16
     # on TPU, XLA einsum + f32 elsewhere (tgtc/train/pipeline.py)
@@ -336,9 +375,7 @@ def run_transformer(args) -> int:
     collage_fn = make_collage_fn(model)
     key = dropout_key(args.seed + 3)
     step_fn = make_transformer_train_step(model, tcfg)
-    c_paths = _list_images(args.nerf_content_dir)
-    c_paths = [p for p in c_paths
-               if "depth" not in p and "geometry" not in p]
+    c_paths = _content_images(args.nerf_content_dir)
     s_paths = _list_images(args.style_dir)
     assert c_paths and s_paths
     workers = min(args.n_threads, 8)
@@ -367,6 +404,7 @@ def run_transformer(args) -> int:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    _resolve_task_defaults(args)
     os.makedirs(args.save_dir, exist_ok=True)
     return {
         "vae": run_vae,

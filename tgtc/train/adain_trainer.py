@@ -25,6 +25,9 @@ from tgtc.ops.rasterize import ndc_to_world, rasterize_warp
 @dataclasses.dataclass(frozen=True)
 class AdainTrainConfig:
     lr: float = 1e-4
+    lr_decay: float = 0.0  # reference adjust_learning_rate:
+    #   lr / (1 + lr_decay * iter) every iteration
+    #   (/root/reference/train_style_modules.py:180-184,225,618)
     content_weight: float = 1.0
     style_weight: float = 10.0
     temporal_weight: float = 3500.0
@@ -49,8 +52,14 @@ def _decoder_only_tx(cfg: AdainTrainConfig) -> optax.GradientTransformation:
             }
         }
 
+    if cfg.lr_decay > 0.0:
+        tx = optax.adam(
+            learning_rate=lambda step: cfg.lr / (1.0 + cfg.lr_decay * step)
+        )
+    else:
+        tx = optax.adam(cfg.lr)
     return optax.multi_transform(
-        {"train": optax.adam(cfg.lr), "frozen": optax.set_to_zero()},
+        {"train": tx, "frozen": optax.set_to_zero()},
         param_labels=labels,
     )
 

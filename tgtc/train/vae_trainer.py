@@ -24,6 +24,9 @@ from tgtc.models.vgg import VggEncoder
 @dataclasses.dataclass(frozen=True)
 class VaeTrainConfig:
     lr: float = 1e-3
+    lr_decay: float = 0.0  # reference adjust_learning_rate:
+    #   lr / (1 + lr_decay * iter) every iteration
+    #   (/root/reference/train_style_modules.py:180-184,280)
     max_iter: int = 160000
     batch_size: int = 8
     kl_lambda: float = 0.1
@@ -49,17 +52,25 @@ def vgg_style_feature(vgg: VggEncoder, vgg_params, images: jnp.ndarray
     return jnp.concatenate([mean, std], axis=-1)
 
 
+def _vae_tx(tcfg: VaeTrainConfig) -> optax.GradientTransformation:
+    if tcfg.lr_decay > 0.0:
+        return optax.adam(
+            learning_rate=lambda step: tcfg.lr / (1.0 + tcfg.lr_decay * step)
+        )
+    return optax.adam(tcfg.lr)
+
+
 def init_vae_train(key: jax.Array, cfg: VaeConfig, tcfg: VaeTrainConfig
                    ) -> Tuple[Vae, VaeTrainState]:
     model, params = make_vae(cfg, key)
-    tx = optax.adam(tcfg.lr)
+    tx = _vae_tx(tcfg)
     return model, VaeTrainState(
         step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)
     )
 
 
 def make_vae_train_step(model: Vae, tcfg: VaeTrainConfig):
-    tx = optax.adam(tcfg.lr)
+    tx = _vae_tx(tcfg)
 
     def step_fn(state: VaeTrainState, x: jnp.ndarray, key: jax.Array):
         k = jax.random.fold_in(key, state.step)
