@@ -217,6 +217,48 @@ class TestStyleTrainStep:
         np.testing.assert_array_equal(np.asarray(chunk.coh_x),
                                       np.asarray(seq.coh_x))
 
+    def test_k_step_scan_under_mesh_matches_sequential(self, cpu_mesh8):
+        """Phase E's PRODUCTION DISPATCH SHAPE: K>1 scanned steps per
+        dispatch with data-axis sharding (pipeline.train_style3d runs
+        K=50 + mesh on TPU), queued two dispatches deep — bit-identical to
+        sequential mesh steps."""
+        key = jax.random.PRNGKey(3)
+        nerf_cfg = NerfConfig(depth=2, width=32, embed_freq_coor=2,
+                              embed_freq_dir=1, compute_dtype=jnp.float32)
+        ncm, npc = make_nerf(nerf_cfg, key)
+        nfm, npf = make_nerf(nerf_cfg, jax.random.fold_in(key, 1))
+        data = synthetic_style_scene(key, s=2, f=3, h=8, w=8)
+        cfg = StyleTrainConfig(batch_size=16, n_samples=4, n_samples_fine=4,
+                               sigma_noise_std=0.0, origin_step=0,
+                               llff_tile=False, dataset_type="synthetic")
+        field = StyleFieldConfig(style_d=4, width=32, latent_dim=8,
+                                 embed_dim=nerf_cfg.input_ch)
+        cm, sm, state = init_style_state(key, field, cfg, 2, 3)
+        k = 4
+        step = make_style_train_step(ncm, nfm, npc, npf, cm, sm, cfg,
+                                     mesh=cpu_mesh8)
+        scan = make_style_train_step(ncm, nfm, npc, npf, cm, sm, cfg,
+                                     mesh=cpu_mesh8, k_steps=k)
+        state2 = jax.tree.map(jnp.copy, state)
+
+        seq = state
+        seq_losses = []
+        for _ in range(2 * k):
+            seq, m = step(seq, data, key)
+            seq_losses.append(float(m["loss"]))
+        chunk, ms_a = scan(state2, data, key)
+        chunk, ms_b = scan(chunk, data, key)  # second dispatch queued
+        got = np.concatenate([np.asarray(ms_a["loss"]),
+                              np.asarray(ms_b["loss"])])
+        np.testing.assert_array_equal(got,
+                                      np.asarray(seq_losses, np.float32))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            chunk.params, seq.params,
+        )
+        assert int(chunk.step) == 2 * k
+
     def test_nerf_params_not_trained(self):
         """Gradients must not flow into the frozen NeRF (stop_gradient)."""
         key = jax.random.PRNGKey(0)

@@ -69,6 +69,39 @@ class TestTrainStep:
         )
         assert int(s2.step) == 4
 
+    def test_k_step_scan_under_mesh_matches_sequential(self, cpu_mesh8):
+        """THE PRODUCTION DISPATCH SHAPE: K>1 lax.scan steps per dispatch
+        *with* data-axis sharding (pipeline.train_nerf runs K=50 + mesh on
+        TPU). Bit-identity vs K sequential mesh steps, plus queued
+        dispatches (the pipeline keeps several chunks in flight) — the
+        round-2 'in-process collectives deadlock' no longer reproduces on
+        this jax, so the config is testable off-chip."""
+        cm, fm, s1 = init_state(jax.random.PRNGKey(0), TINY_NERF, TINY_TRAIN)
+        _, _, s2 = init_state(jax.random.PRNGKey(0), TINY_NERF, TINY_TRAIN)
+        step = make_train_step(cm, fm, TINY_TRAIN, mesh=cpu_mesh8)
+        chunk = make_train_step(cm, fm, TINY_TRAIN, mesh=cpu_mesh8,
+                                k_steps=4)
+        ro, rd, rgb = _toy_rays()
+        k = jax.random.PRNGKey(7)
+        seq_losses = []
+        for _ in range(8):
+            s1, m = step(s1, ro, rd, rgb, k)
+            seq_losses.append(float(m["loss"]))
+        # two K=4 dispatches queued back-to-back without an intermediate
+        # sync (dispatch window > 1, like the TPU loop)
+        s2, ms_a = chunk(s2, ro, rd, rgb, k)
+        s2, ms_b = chunk(s2, ro, rd, rgb, k)
+        got = np.concatenate([np.asarray(ms_a["loss"]),
+                              np.asarray(ms_b["loss"])])
+        np.testing.assert_array_equal(got,
+                                      np.asarray(seq_losses, np.float32))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            s1.params_fine, s2.params_fine,
+        )
+        assert int(s2.step) == 8
+
     def test_deterministic_given_key(self):
         cm, fm, s1 = init_state(jax.random.PRNGKey(0), TINY_NERF, TINY_TRAIN)
         _, _, s2 = init_state(jax.random.PRNGKey(0), TINY_NERF, TINY_TRAIN)
