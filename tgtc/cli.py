@@ -43,14 +43,13 @@ def _enable_compilation_cache() -> None:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
-    import os
+    # multi-host: one global mesh over all processes; coordinator/rank
+    # discovered from the cluster env (TGTC_*/torchrun/SLURM conventions —
+    # tgtc/parallel/distributed.py; the reference's dead analog is
+    # /root/reference/misc.py:157-179). No-op for single-process launches.
+    from tgtc.parallel.distributed import maybe_initialize_distributed
 
-    if os.environ.get("TGTC_DISTRIBUTED") == "1":
-        # multi-host: one global mesh over all processes; coordinator/rank
-        # discovered from the cluster env (GKE/SLURM) by jax itself
-        import jax
-
-        jax.distributed.initialize()
+    maybe_initialize_distributed()
     cfg = load_config(argv)
     if cfg.debug_nans:
         import jax

@@ -22,11 +22,27 @@ class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 3):
         self._dir = os.path.abspath(directory)
         os.makedirs(self._dir, exist_ok=True)
+        opts = dict(max_to_keep=max_to_keep, create=True)
+        if jax.process_count() > 1:
+            # Multi-host: train states are fully replicated, so process 0's
+            # host copy is the global truth — writes are gated to it (see
+            # save/save_device_async) and every process's manager is scoped
+            # to ITSELF so orbax never barriers across processes (a save
+            # called on one process only would otherwise deadlock the
+            # cross-process sync). Restores are plain reads of the shared
+            # log directory.
+            pi = jax.process_index()
+            opts["multiprocessing_options"] = (
+                ocp.options.MultiprocessingOptions(
+                    primary_host=pi, active_processes={pi},
+                    barrier_sync_key_prefix=f"tgtc_p{pi}",
+                )
+            )
+            # orbax refuses create=True with active_processes; the root
+            # directory is already created by the makedirs above
+            opts["create"] = False
         self._mgr = ocp.CheckpointManager(
-            self._dir,
-            options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True
-            ),
+            self._dir, options=ocp.CheckpointManagerOptions(**opts)
         )
         self._fetcher: Optional[ThreadPoolExecutor] = None
         self._pending: List[Future] = []
@@ -42,7 +58,13 @@ class CheckpointManager:
         finalize, so a crash mid-write never leaves a restorable partial
         checkpoint. Pass ``wait=True`` (or call :meth:`wait`) for the final
         save of a phase so process exit cannot race the write.
+
+        Multi-host: only process 0 writes (states are replicated, so its
+        copy is the global truth); other processes no-op. Restores read the
+        shared log directory from every process.
         """
+        if jax.process_index() != 0:
+            return
         self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force
         )
@@ -64,6 +86,8 @@ class CheckpointManager:
         (backpressure blocks on the oldest) so snapshots can't pile up in
         HBM if the tunnel is slower than the checkpoint cadence.
         """
+        if jax.process_index() != 0:
+            return
         self._drain_done()
         if self._fetcher is None:
             self._fetcher = ThreadPoolExecutor(

@@ -177,6 +177,19 @@ class Pipeline:
             self._snap_fn = fn
         return fn
 
+    def _feed(self, tree):
+        """Make dataset tensors jit-feedable on the current runtime. Under
+        multi-process (multi-host DCN mesh) jit inputs must be
+        globally-addressable arrays: every process holds the same host copy,
+        so device_put them with a replicated global sharding (each process
+        supplies its addressable shards). Single-process: unchanged (jit
+        replicates on demand)."""
+        if jax.process_count() > 1:
+            from tgtc.parallel.distributed import replicate_to_mesh
+
+            return replicate_to_mesh(self.mesh, tree)
+        return tree
+
     @property
     def _sync_every(self) -> int:
         """Training-loop dispatch depth. On a multi-device CPU mesh (the
@@ -244,6 +257,7 @@ class Pipeline:
         rays_o = jnp.reshape(ro, (-1, 3))
         rays_d = jnp.reshape(rd, (-1, 3))
         rgb_gt = jnp.reshape(jnp.asarray(self.scene.images), (-1, 3))
+        rays_o, rays_d, rgb_gt = self._feed((rays_o, rays_d, rgb_gt))
 
         from tgtc.train.nerf_trainer import (
             fused_train_supported, make_fused_train_step,
@@ -706,6 +720,7 @@ class Pipeline:
         if int(sstate.step) >= cfg.total_step:
             self._style = (concat_model, style_model, sstate)
             return
+        data = self._feed(data)
 
         # K steps per dispatch: Phase E's 256×2-ray batches are
         # dispatch-latency-bound one step at a time (~20 steps/s round 2);
@@ -958,6 +973,9 @@ class Pipeline:
 
     def run(self) -> None:
         cfg = self.cfg
+        if jax.process_count() > 1:
+            self._run_multihost()
+            return
         if cfg.render_valid_style:
             self.render_stylized("valid")
             return
@@ -973,6 +991,44 @@ class Pipeline:
         self.train_nerf()
         # quality evidence on every run: holdout-view PSNR right after
         # Phase A (the reference never evaluates quantitatively — SURVEY §4)
+        self._run_after_nerf()
+
+    def _run_multihost(self) -> None:
+        """Multi-host (DCN) schedule: the two training hot loops — Phase A
+        (NeRF pretrain) and Phase E (style distillation) — scale over the
+        global mesh; the IO stages (B geometry dump, C 2D stylize, D VAE,
+        F renders) are host-loop-bound and run single-process. The pipeline
+        is re-entrant off checkpoints (like the reference's exit-and-
+        reinvoke flow, /root/reference/train_tgtcs.py:590-597), so the
+        production recipe is: multihost A → single-process B–D →
+        multihost E → single-process F. All processes must share the log
+        directory (process 0 writes, everyone reads)."""
+        from tgtc.parallel.distributed import is_main_process
+
+        cfg = self.cfg
+        if cfg.render_valid_style or cfg.render_train_style \
+                or cfg.render_valid or cfg.render_train:
+            raise RuntimeError(
+                "render phases are single-host IO loops - run them without "
+                "TGTC_DISTRIBUTED (the phase machine resumes from the "
+                "shared checkpoints)")
+        self.train_nerf()
+        have_2d = (
+            os.path.exists(os.path.join(self.gen_dir, "geometry.npz"))
+            and os.path.exists(
+                os.path.join(self.stylized_dir, "stylized_data.npz"))
+            and self.vae_ckpt.latest_step() is not None
+        )
+        if have_2d:
+            self.train_style3d()
+        elif is_main_process():
+            print(
+                "[multihost] Phase A done. Run phases B-D single-process "
+                "(same logdir), then re-launch distributed for Phase E.",
+                flush=True,
+            )
+
+    def _run_after_nerf(self) -> None:
         try:
             self.evaluate()
         except Exception as e:  # never let eval kill a training run
