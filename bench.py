@@ -57,8 +57,27 @@ from tgtc.render.volume import RenderSettings
 
 ASSUMED_REF_RAYS_PER_SEC = 25_000.0
 
+# TPU v5e peak bf16 matmul throughput (public spec). The round-3 kernel
+# lab's "practical max" (119.5, a tunnel-measured fat matmul) is NOT used
+# as the denominator: the fused render itself sustains more than that
+# (125.3 TFLOP/s measured round-4), proving that measurement pessimistic.
+PEAK_TFLOPS_BF16 = 197.0
+
 H, W = 756, 1008
 BLOCK = 1 << 14  # rays per fused render call
+ERT_FINE_BUDGET = 64  # early-ray-termination variant: fine MLP on 64/128
+
+
+def _flops_per_ray(nc=64, nf_tot=128, fine_budget=None):
+    """Analytic MXU FLOPs/ray for the sigma-only-coarse + full-fine render
+    (D=8/W=256, freq 10/4, skip at 4) — matmul FLOPs only, the >99% term."""
+    in_pts, in_dir, w = 63, 27, 256
+    trunk = 2 * (in_pts * w + 6 * w * w + (w + in_pts) * w)
+    sigma = 2 * w * 1
+    rgb = 2 * (w * w + (w + in_dir) * (w // 2) + (w // 2) * 3)
+    coarse = nc * (trunk + sigma)                      # sigma-only coarse
+    fine = (fine_budget or nf_tot) * (trunk + sigma + rgb)
+    return coarse + fine
 
 
 def _numpy_nerf_params(rng, cfg: NerfConfig):
@@ -113,6 +132,12 @@ def main():
     # fine output, tests/test_pallas_kernel.py)
     rend = FusedNerfRenderer.from_params(params_c, params_f, settings,
                                          coarse_rgb=False)
+    # ERT variant: top-64/128 merged samples by coarse-estimated weight
+    # (opt-in --fine_budget; quality delta measured on the realscale scene,
+    # BASELINE.md round-4)
+    rend_ert = FusedNerfRenderer.from_params(
+        params_c, params_f, settings, coarse_rgb=False,
+        fine_budget=ERT_FINE_BUDGET)
 
     rays_o = rng.uniform(-1.0, 1.0, (BLOCK, 3)).astype(np.float32)
     rays_d = rng.standard_normal((BLOCK, 3)).astype(np.float32)
@@ -128,25 +153,29 @@ def main():
     fold = jax.jit(lambda acc, o: acc + jnp.sum(o["rgb"]))
 
     _mark("state built")
-    # warmup / compile
-    out = rend.render(rays_o, rays_d)
-    acc = fold(jnp.zeros(()), out)
-    float(np.asarray(acc))
-    _mark("warmup done")
 
-    n_rays = H * W
-    n_blocks = max(1, n_rays // BLOCK)
-    reps = 3
-    acc = jnp.zeros(())
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        for _ in range(n_blocks):
-            out = rend.render(rays_o, rays_d)
-            acc = fold(acc, out)
-    float(np.asarray(acc))  # hard sync
-    dt = time.perf_counter() - t0
+    def _measure(renderer, reps=3):
+        n_rays = H * W
+        n_blocks = max(1, n_rays // BLOCK)
+        # warmup / compile
+        out = renderer.render(rays_o, rays_d)
+        a = fold(jnp.zeros(()), out)
+        float(np.asarray(a))
+        a = jnp.zeros(())
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            for _ in range(n_blocks):
+                out = renderer.render(rays_o, rays_d)
+                a = fold(a, out)
+        float(np.asarray(a))  # hard sync
+        return reps * n_blocks * BLOCK / (time.perf_counter() - t0)
 
-    rays_per_sec = reps * n_blocks * BLOCK / dt
+    rays_per_sec = _measure(rend)
+    _mark("exact path measured")
+    ert_rays_per_sec = _measure(rend_ert)
+    _mark("ERT path measured")
+
+    tflops = rays_per_sec * _flops_per_ray() / 1e12
     print(
         json.dumps(
             {
@@ -154,6 +183,18 @@ def main():
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / ASSUMED_REF_RAYS_PER_SEC, 2),
+                # MFU-first leg: assumption-free, vs the chip's bf16 peak.
+                # The 25k denominator above is the secondary, estimated
+                # comparison.
+                "tflops_effective": round(tflops, 1),
+                "mfu_pct_peak_bf16": round(
+                    100.0 * tflops / PEAK_TFLOPS_BF16, 1),
+                # opt-in early-ray-termination variant (--fine_budget 64):
+                # same frame, fine MLP on the top 64/128 samples
+                "ert_fine_budget": ERT_FINE_BUDGET,
+                "ert_rays_per_sec": round(ert_rays_per_sec, 1),
+                "ert_vs_baseline": round(
+                    ert_rays_per_sec / ASSUMED_REF_RAYS_PER_SEC, 2),
             }
         )
     )

@@ -156,6 +156,66 @@ def make_styles(style_dir: str) -> None:
             os.path.join(style_dir, f"style{k}.png"))
 
 
+def ert_quality_sweep(pipe, budgets):
+    """Render the holdout view with the fused renderer at each fine_budget
+    and report throughput-free QUALITY numbers: PSNR vs GT and vs the full
+    render (the <0.1 dB claim for the bench's ERT variant, VERDICT r3
+    item 3). Reference workload: all-samples compositing,
+    /root/reference/utils.py:354-386."""
+    import jax
+    import jax.numpy as jnp
+
+    from tgtc.data.rays import rays_for_poses
+    from tgtc.render.fast import FusedNerfRenderer
+    from tgtc.render.volume import RenderSettings
+
+    cfg = pipe.cfg
+    cm, fm, state, _ = pipe._nerf_setup()
+    v = pipe.scene.i_test
+    h, w, _ = pipe.scene.hwf
+    ro, rd = rays_for_poses(
+        h, w, jnp.asarray(pipe.scene.intrinsics),
+        jnp.asarray(pipe.scene.poses[v: v + 1]),
+        use_ndc=not cfg.no_ndc, pixel_alignment=cfg.pixel_alignment,
+    )
+    ro, rd = jnp.reshape(ro, (-1, 3)), jnp.reshape(rd, (-1, 3))
+    gt = np.asarray(pipe.scene.images[v]).reshape(-1, 3)
+
+    def render(budget):
+        rend = FusedNerfRenderer.from_params(
+            state.params_coarse, state.params_fine,
+            RenderSettings(n_samples=cfg.N_samples,
+                           n_samples_fine=cfg.N_samples_fine,
+                           near=pipe.near, far=pipe.far,
+                           sigma_noise_std=0.0,
+                           white_bkgd=cfg.white_bkgd),
+            num_freq_coor=cfg.embed_freq_coor,
+            num_freq_dir=cfg.embed_freq_dir, depth=cfg.netdepth,
+            width=cfg.netwidth, depth_fine=cfg.netdepth_fine,
+            width_fine=cfg.netwidth_fine, coarse_rgb=False,
+            fine_budget=budget,
+        )
+        out = rend.render_image(ro, rd)
+        return np.clip(np.asarray(out["rgb"]), 0.0, 1.0)
+
+    def psnr(a, b):
+        return float(-10.0 * np.log10(np.mean((a - b) ** 2) + 1e-12))
+
+    full = render(None)
+    psnr_full = psnr(gt, full)
+    rows = []
+    for b in budgets:
+        img = render(b)
+        rows.append({
+            "fine_budget": b,
+            "psnr_gt_db": round(psnr(gt, img), 3),
+            "psnr_delta_vs_full_db": round(psnr_full - psnr(gt, img), 3),
+            "psnr_agreement_db": round(psnr(full, img), 2),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    return {"psnr_full_db": round(psnr_full, 3), "budgets": rows}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
@@ -172,6 +232,11 @@ def main():
                     choices=["smooth", "spec"],
                     help="spec = high-frequency textures + Blinn-Phong "
                          "glossy planes (view-dependent radiance)")
+    ap.add_argument("--ert_sweep", default="",
+                    help="comma-separated fine_budget values (e.g. "
+                         "'96,80,64,48'): after Phase A, render the "
+                         "holdout view with each budget and report the "
+                         "GT-PSNR delta vs the full fused render")
     args = ap.parse_args()
 
     if args.scene_class != "smooth" and args.workdir == "/tmp/tgtc_realscale":
@@ -223,6 +288,11 @@ def main():
         "holdout_psnr_db": round(psnr, 2),
     }
     print(json.dumps(result), flush=True)
+
+    if args.ert_sweep:
+        result["ert"] = ert_quality_sweep(
+            pipe, [int(b) for b in args.ert_sweep.split(",")])
+        print(json.dumps(result), flush=True)
 
     if args.full:
         t0 = time.perf_counter()

@@ -304,3 +304,60 @@ class TestStyleTrainStep:
         assert not np.allclose(
             np.asarray(jax.tree.leaves(state.params["style"])[0]), style_before
         )
+
+
+class TestCoherenceDiagnostic:
+    """Phase-E start coherence-regime diagnostic (VERDICT r3 item 4): the
+    reference's fixed lambda_coh schedule silently saturates on high-chroma
+    scenes (/root/reference/train_tgtcs.py:482-483 has no check)."""
+
+    def _setup(self, lam):
+        key = jax.random.PRNGKey(0)
+        nerf_cfg = NerfConfig(depth=2, width=16, embed_freq_coor=2,
+                              embed_freq_dir=1, compute_dtype=jnp.float32)
+        ncm, npc = make_nerf(nerf_cfg, key)
+        nfm, npf = make_nerf(nerf_cfg, jax.random.fold_in(key, 1))
+        # synthetic_style_scene's random stylized targets ARE the
+        # high-chroma regime (uniform color noise, max chroma contrast)
+        data = synthetic_style_scene(key, s=2, f=3, h=8, w=8)
+        cfg = StyleTrainConfig(batch_size=16, n_samples=4, n_samples_fine=4,
+                               sigma_noise_std=0.0, origin_step=0,
+                               llff_tile=False, dataset_type="synthetic",
+                               loss_coh_lambda=lam)
+        field = StyleFieldConfig(style_d=4, width=16, latent_dim=8,
+                                 embed_dim=nerf_cfg.input_ch)
+        cm, sm, state = init_style_state(key, field, cfg, 2, 3)
+        diag = make_style_train_step(ncm, nfm, npc, npf, cm, sm, cfg,
+                                     with_grad_ratio=True)
+        return diag, state, data
+
+    def test_ratio_linear_in_lambda_and_warn_regime(self):
+        from tgtc.train.style3d import COH_RATIO_WARN, coherence_grad_ratio
+
+        key = jax.random.PRNGKey(3)
+        diag, state, data = self._setup(1.0)
+        r1, g_coh, g_rgb = coherence_grad_ratio(diag, state, data, key)
+        assert np.isfinite(r1) and r1 > 0 and g_coh > 0 and g_rgb > 0
+
+        # the ratio is linear in lambda, so these land deterministically
+        # on either side of the warning threshold
+        hot = 20.0 * COH_RATIO_WARN / r1
+        cold = 0.1 * COH_RATIO_WARN / r1
+        diag_h, state_h, data_h = self._setup(hot)
+        r_hot, _, _ = coherence_grad_ratio(diag_h, state_h, data_h, key)
+        diag_c, state_c, data_c = self._setup(cold)
+        r_cold, _, _ = coherence_grad_ratio(diag_c, state_c, data_c, key)
+        assert r_hot > COH_RATIO_WARN, f"{r_hot} should warn"
+        assert r_cold < COH_RATIO_WARN, f"{r_cold} should be silent"
+        np.testing.assert_allclose(r_hot / r_cold, 200.0, rtol=1e-3)
+
+    def test_diag_does_not_change_trajectory(self):
+        """The probe must not donate or mutate the production state."""
+        from tgtc.train.style3d import coherence_grad_ratio
+
+        key = jax.random.PRNGKey(3)
+        diag, state, data = self._setup(1.0)
+        before = np.asarray(state.params["latents"]).copy()
+        coherence_grad_ratio(diag, state, data, key)
+        np.testing.assert_array_equal(
+            np.asarray(state.params["latents"]), before)

@@ -124,6 +124,19 @@ class Config:
 
     # --- TPU-native additions (no reference analog) ---
     use_pallas: bool = True      # fused trunk kernel for bulk renders
+    coh_lambda_auto: bool = False  # rescale loss_coh_lambda when the
+    #                              Phase-E start diagnostic finds the
+    #                              coherence gradient dominating rgb >10x
+    #                              (train/style3d.py coherence_grad_ratio);
+    #                              off = warn only, reference math exact
+    fine_budget: int = 0         # early ray termination for Phase-F/plain
+    #                              renders: evaluate the fine MLP on only
+    #                              the N highest-estimated-contribution
+    #                              merged samples per ray (0 = off, exact
+    #                              reference parity; see
+    #                              ops.sampling.select_sample_budget).
+    #                              Phase-B geometry dumps always render
+    #                              full — depth maps feed later training.
     mesh_devices: int = 0        # 0 = all local devices
     seed: int = 0
     debug_nans: bool = False     # jax_debug_nans — the analog of the

@@ -24,16 +24,29 @@ class CompositeOutput(NamedTuple):
     acc: jnp.ndarray      # [R]     accumulated opacity
 
 
-def sigma_weights(sigma: jnp.ndarray, t_values: jnp.ndarray) -> jnp.ndarray:
+def sigma_weights(
+    sigma: jnp.ndarray,
+    t_values: jnp.ndarray,
+    deltas: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """Per-sample compositing weights from (post-noise) density alone.
     The single home of the quadrature math — :func:`alpha_composite`
     computes its weights HERE, so a sigma-only render pass (the stylized
     coarse pass: sample_pdf consumes weights, coarse rgb is discarded)
-    is identical-by-construction to the full composite."""
-    delta = t_values[..., 1:] - t_values[..., :-1]
-    delta = jnp.concatenate(
-        [delta, jnp.full_like(delta[..., :1], 1e10)], axis=-1
-    )
+    is identical-by-construction to the full composite.
+
+    ``deltas`` overrides the consecutive-difference interval lengths: the
+    early-terminated render (tgtc.render.fast, ``fine_budget``) composites
+    a *subset* of samples but keeps each sample's interval from the full
+    set, which makes dropping a sample exactly equivalent to forcing its
+    alpha to zero (no density is attributed to skipped space)."""
+    if deltas is None:
+        delta = t_values[..., 1:] - t_values[..., :-1]
+        delta = jnp.concatenate(
+            [delta, jnp.full_like(delta[..., :1], 1e10)], axis=-1
+        )
+    else:
+        delta = deltas
     alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * delta)
     # Exclusive cumulative transmittance: T_i = prod_{j<i} (1 - alpha_j).
     trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
@@ -50,6 +63,7 @@ def alpha_composite(
     noise_std: float = 0.0,
     key: Optional[jax.Array] = None,
     white_bkgd: bool = False,
+    deltas: Optional[jnp.ndarray] = None,
 ) -> CompositeOutput:
     """Composite per-sample radiance into per-ray outputs.
 
@@ -60,11 +74,13 @@ def alpha_composite(
         noise_std: std of Gaussian regularization noise added to sigma before
             the ReLU (only when ``key`` is provided) —
             reference /root/reference/utils.py:372-376.
+        deltas: optional explicit ``[R, N]`` interval lengths
+            (see :func:`sigma_weights`).
     """
     if key is not None and noise_std > 0.0:
         sigma = sigma + jax.random.normal(key, sigma.shape, sigma.dtype) * noise_std
 
-    weights = sigma_weights(sigma, t_values)
+    weights = sigma_weights(sigma, t_values, deltas=deltas)
 
     rgb_exp = jnp.sum(weights[..., None] * rgb, axis=-2)
     t_exp = jnp.sum(weights * t_values, axis=-1)

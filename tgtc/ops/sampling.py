@@ -24,6 +24,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from tgtc.ops.composite import sigma_weights
+
 
 def sample_along_rays_uniform(
     rays_o: jnp.ndarray,
@@ -154,6 +156,66 @@ def merge_two_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         jnp.einsum("ran,ra->rn", oh_a, a)
         + jnp.einsum("rbn,rb->rn", oh_b, b)
     )
+
+
+def select_sample_budget(
+    ts_all: jnp.ndarray,
+    ts_coarse: jnp.ndarray,
+    sigma_coarse: jnp.ndarray,
+    budget: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Early ray termination / empty-space skip as a static-shape top-K.
+
+    The reference composites every merged sample unconditionally
+    (/root/reference/utils.py:354-386); per-ray early-exit loops don't map to
+    the TPU's SIMD model, but *sample culling* does: estimate each merged
+    sample's compositing weight from the COARSE density field — gather the
+    piecewise-constant coarse sigma at each merged depth and run the
+    quadrature (:func:`tgtc.ops.composite.sigma_weights`) at merged
+    resolution — then keep the top ``budget`` per ray in depth order and
+    hand the fine MLP a dense ``[R, budget]`` problem. Everything is
+    branchless comparison-counts, one ``top_k``, and one-hot MXU gathers
+    (same playbook as :func:`sample_pdf`).
+
+    The estimator is near-oracle: measured dropped true-weight mass within
+    ~10% of a true-fine-weight top-K on a trained scene (the only error
+    source is coarse-vs-fine field mismatch); naive per-bin-weight scoring
+    over-drops lone carriers outside the surface bin by ~2x
+    (tests/test_fine_budget.py).
+
+    Returns ``(ts_kept [R, budget], deltas_kept [R, budget])`` where the
+    deltas are each kept sample's interval length *in the full set* — so
+    compositing the subset (``alpha_composite(..., deltas=deltas_kept)``)
+    equals the full composite with the dropped samples' alphas forced to
+    zero. The approximation error is exactly the dropped weight mass,
+    which the score ordering minimises.
+    """
+    r, m = ts_all.shape
+    nc = ts_coarse.shape[-1]
+    if not 0 < budget <= m:
+        raise ValueError(f"budget {budget} must be in (0, {m}]")
+
+    # coarse interval of each merged sample: count(ts_coarse <= t) - 1
+    idx_bin = jnp.sum(
+        (ts_coarse[:, None, :] <= ts_all[:, :, None]).astype(jnp.int32),
+        axis=-1,
+    ) - 1
+    idx_bin = jnp.clip(idx_bin, 0, nc - 1)
+    oh_bin = (idx_bin[..., None] == jnp.arange(nc)).astype(ts_all.dtype)
+    sigma_est = jnp.einsum("rmb,rb->rm", oh_bin, sigma_coarse)  # [R, M]
+    score = sigma_weights(sigma_est, ts_all)                    # [R, M]
+
+    _, keep = jax.lax.top_k(score, budget)
+    keep = jnp.sort(keep, axis=-1)  # restore depth order
+
+    deltas = ts_all[..., 1:] - ts_all[..., :-1]
+    deltas = jnp.concatenate(
+        [deltas, jnp.full_like(deltas[..., :1], 1e10)], axis=-1
+    )
+    oh_keep = (keep[..., None] == jnp.arange(m)).astype(ts_all.dtype)
+    table = jnp.stack([ts_all, deltas], axis=-1)              # [R, M, 2]
+    g = jnp.einsum("rkm,rmj->rkj", oh_keep, table)
+    return g[..., 0], g[..., 1]
 
 
 def merge_and_resample_fine(

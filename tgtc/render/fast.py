@@ -26,7 +26,9 @@ from tgtc.ops.pallas.nerf_mlp import (
     fused_nerf_sigma_apply_t,
     pack_nerf_params,
 )
-from tgtc.ops.sampling import sample_along_rays_uniform, sample_pdf
+from tgtc.ops.sampling import (
+    sample_along_rays_uniform, sample_pdf, select_sample_budget,
+)
 from tgtc.render.volume import RenderSettings
 
 
@@ -53,6 +55,7 @@ def make_fused_render_fn(
     depth_fine: int = None,
     width_fine: int = None,
     coarse_rgb: bool = True,
+    fine_budget: int = None,
 ):
     """Build a jitted ``(w1c, w2c, encc, w1f, w2f, encf, rays_o, rays_d) ->
     outputs`` render function using the fused trunk kernel for both passes.
@@ -60,10 +63,20 @@ def make_fused_render_fn(
     ``depth_fine``/``width_fine`` default to the coarse dims; the reference
     sizes the fine net separately (/root/reference/models.py:202-205).
 
+    ``fine_budget``: early ray termination / empty-space skip — evaluate
+    the fine MLP on only the ``fine_budget`` highest-estimated-contribution
+    merged samples per ray (see ops.sampling.select_sample_budget). None
+    (default) keeps exact parity with the reference's evaluate-all path
+    (/root/reference/utils.py:354-386).
+
     Ray count must make R*(Nc) and R*(Nc+Nf) multiples of ``tile``
     (R a multiple of tile works since Nc, Nc+Nf are powers of two / even).
     """
     nc, nf = settings.n_samples, settings.n_samples + settings.n_samples_fine
+    if fine_budget is not None and not 0 < fine_budget <= nf:
+        raise ValueError(f"fine_budget {fine_budget} not in (0, {nf}]")
+    if fine_budget == nf:
+        fine_budget = None  # full budget: take the exact path
     kw = dict(depth=depth, num_freq_coor=num_freq_coor,
               num_freq_dir=num_freq_dir, width=width, tile=tile,
               interpret=interpret)
@@ -92,7 +105,8 @@ def make_fused_render_fn(
                 w1c, w2c, encc, pt, depth=kw["depth"],
                 num_freq_coor=num_freq_coor, width=width, tile=tile,
                 interpret=interpret)
-            weights_c = sigma_weights(sig_t.reshape(r, nc), ts)
+            sigma_c = sig_t.reshape(r, nc)
+            weights_c = sigma_weights(sigma_c, ts)
 
         ts_mid = 0.5 * (ts[..., 1:] + ts[..., :-1])
         t_new = sample_pdf(ts_mid, weights_c[..., 1:-1],
@@ -102,12 +116,20 @@ def make_fused_render_fn(
         # one-hot intermediates break XLA's fusion here); keep the sort
         ts_f = jnp.sort(jnp.concatenate([ts, t_new], axis=-1), axis=-1)
 
+        if fine_budget is not None:
+            ts_f, deltas_f = select_sample_budget(
+                ts_f, ts, sigma_c, fine_budget)
+            n_eval = fine_budget
+        else:
+            deltas_f, n_eval = None, nf
+
         ptf, dtf = _points_t(rays_o, rays_d, ts_f)
         rgb_t, sigma_t = fused_nerf_apply_t(w1f, w2f, encf, ptf, dtf, **kw_f)
-        rgb_f = rgb_t.reshape(3, r, nf).transpose(1, 2, 0)
-        sigma_f = sigma_t.reshape(r, nf)
+        rgb_f = rgb_t.reshape(3, r, n_eval).transpose(1, 2, 0)
+        sigma_f = sigma_t.reshape(r, n_eval)
         comp_f = alpha_composite(rgb_f, sigma_f, ts_f,
-                                 white_bkgd=settings.white_bkgd)
+                                 white_bkgd=settings.white_bkgd,
+                                 deltas=deltas_f)
 
         out = {"rgb": comp_f.rgb, "t_exp": comp_f.t_exp,
                "acc": comp_f.acc}
@@ -139,12 +161,14 @@ class FusedNerfRenderer:
     depth_fine: int = None
     width_fine: int = None
     coarse_rgb: bool = True
+    fine_budget: int = None
 
     def __post_init__(self):
         self._fn = make_fused_render_fn(
             self.settings, self.tile, self.interpret, self.depth,
             self.num_freq_coor, self.num_freq_dir, self.width,
             self.depth_fine, self.width_fine, self.coarse_rgb,
+            self.fine_budget,
         )
 
     @classmethod
@@ -162,6 +186,7 @@ class FusedNerfRenderer:
         depth_fine: int = None,
         width_fine: int = None,
         coarse_rgb: bool = True,
+        fine_budget: int = None,
     ) -> "FusedNerfRenderer":
         pc = pack_nerf_params(params_coarse, depth=depth,
                               num_freq_coor=num_freq_coor,
@@ -174,7 +199,7 @@ class FusedNerfRenderer:
                    depth=depth, num_freq_coor=num_freq_coor,
                    num_freq_dir=num_freq_dir, width=width,
                    depth_fine=depth_fine, width_fine=width_fine,
-                   coarse_rgb=coarse_rgb)
+                   coarse_rgb=coarse_rgb, fine_budget=fine_budget)
 
     def render(self, rays_o: jnp.ndarray, rays_d: jnp.ndarray
                ) -> Dict[str, jnp.ndarray]:

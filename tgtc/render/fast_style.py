@@ -42,14 +42,22 @@ def make_fused_style_render_fn(
     depth_fine: int = None,
     trunk_width_fine: int = None,
     coarse_rgb: bool = True,
+    fine_budget: int = None,
 ):
     """Jitted ``(packed_c(4), packed_f(4), latent_state, rays_o, rays_d,
     style_ids, frame_ids, key) → {"rgb", "t_exp"}`` renderer.
 
     ``depth_fine``/``trunk_width_fine`` size the fine NeRF trunk separately
-    (reference /root/reference/models.py:202-205); default = coarse dims."""
+    (reference /root/reference/models.py:202-205); default = coarse dims.
+    ``fine_budget``: early ray termination — run the fine style chain on
+    only the N highest-estimated-contribution merged samples per ray
+    (ops.sampling.select_sample_budget); None = exact parity."""
     nc = settings.n_samples
     nf = settings.n_samples + settings.n_samples_fine
+    if fine_budget is not None and not 0 < fine_budget <= nf:
+        raise ValueError(f"fine_budget {fine_budget} not in (0, {nf}]")
+    if fine_budget == nf:
+        fine_budget = None
 
     kw = dict(depth=depth, num_freq_coor=num_freq_coor, style_d=style_d,
               style_width=style_width, latent_dim=latent_dim,
@@ -64,7 +72,7 @@ def make_fused_style_render_fn(
         lat = lookup_latents(latent_state, style_ids, frame_ids,
                              sigma_scale, llff_tile)          # [R, L]
 
-        def run(packed, ts, kw):
+        def run(packed, ts, kw, deltas=None):
             s = ts.shape[1]
             pt, _ = _points_t(rays_o, rays_d, ts)
             lat_t = jnp.broadcast_to(
@@ -74,14 +82,15 @@ def make_fused_style_render_fn(
             rgb = rgb_t.reshape(3, r, s).transpose(1, 2, 0)
             sigma = sigma_t.reshape(r, s)
             return alpha_composite(rgb, sigma, ts,
-                                   white_bkgd=settings.white_bkgd)
+                                   white_bkgd=settings.white_bkgd,
+                                   deltas=deltas), sigma
 
         _, ts = sample_along_rays_uniform(
             rays_o, rays_d, nc, near=settings.near, far=settings.far,
             key=key,  # perturb=True at render, reference parity
         )
         if coarse_rgb:
-            comp_c = run((wtc, wsc, wgc, encc), ts, kw)
+            comp_c, sigma_c = run((wtc, wsc, wgc, encc), ts, kw)
             weights_c = comp_c.weights
         else:
             # sigma-only coarse: sample_pdf needs nothing but the
@@ -93,7 +102,8 @@ def make_fused_style_render_fn(
                 wtc, wgc, encc, pt, depth=kw["depth"],
                 num_freq_coor=num_freq_coor, trunk_width=trunk_width,
                 tile=tile, interpret=interpret)
-            weights_c = sigma_weights(sig_t.reshape(r, nc), ts)
+            sigma_c = sig_t.reshape(r, nc)
+            weights_c = sigma_weights(sigma_c, ts)
 
         ts_mid = 0.5 * (ts[..., 1:] + ts[..., :-1])
         t_new = sample_pdf(ts_mid, weights_c[..., 1:-1],
@@ -102,7 +112,14 @@ def make_fused_style_render_fn(
         # LOSES in the fused pipeline (bench 515k vs 534k rays/s — the
         # one-hot intermediates break XLA's fusion here); keep the sort
         ts_f = jnp.sort(jnp.concatenate([ts, t_new], axis=-1), axis=-1)
-        comp_f = run((wtf, wsf, wgf, encf), ts_f, kw_f)
+        if fine_budget is not None:
+            from tgtc.ops.sampling import select_sample_budget
+
+            ts_f, deltas_f = select_sample_budget(
+                ts_f, ts, sigma_c, fine_budget)
+        else:
+            deltas_f = None
+        comp_f, _ = run((wtf, wsf, wgf, encf), ts_f, kw_f, deltas=deltas_f)
 
         out = {"rgb": comp_f.rgb, "t_exp": comp_f.t_exp}
         if coarse_rgb:
@@ -133,6 +150,7 @@ class FusedStyleRenderer:
     depth_fine: int = None
     trunk_width_fine: int = None
     coarse_rgb: bool = True
+    fine_budget: int = None
 
     def __post_init__(self):
         self._fn = make_fused_style_render_fn(
@@ -140,6 +158,7 @@ class FusedStyleRenderer:
             self.style_width, self.latent_dim, self.sigma_scale,
             self.llff_tile, self.tile, self.interpret, self.trunk_width,
             self.depth_fine, self.trunk_width_fine, self.coarse_rgb,
+            self.fine_budget,
         )
 
     @classmethod
@@ -151,7 +170,7 @@ class FusedStyleRenderer:
         sigma_scale: float = 1.0, llff_tile: bool = True,
         tile: int = 2048, interpret: bool = False, trunk_width: int = 256,
         depth_fine: int = None, trunk_width_fine: int = None,
-        coarse_rgb: bool = True,
+        coarse_rgb: bool = True, fine_budget: int = None,
     ) -> "FusedStyleRenderer":
         pk = lambda npar, d, w: pack_style_params(
             npar, concat_params, style_params, depth=d,
@@ -165,7 +184,7 @@ class FusedStyleRenderer:
                    latent_state, settings, depth, num_freq_coor, style_d,
                    style_width, latent_dim, sigma_scale, llff_tile, tile,
                    interpret, trunk_width, depth_fine, trunk_width_fine,
-                   coarse_rgb)
+                   coarse_rgb, fine_budget)
 
     def render(self, rays_o, rays_d, style_ids, frame_ids, key):
         return self._fn(*self.packed_coarse, *self.packed_fine,

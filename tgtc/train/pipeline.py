@@ -23,6 +23,7 @@ Phases:
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Any, Dict, List, Optional
 
@@ -722,6 +723,48 @@ class Pipeline:
             return
         data = self._feed(data)
 
+        # Coherence-regime diagnostic at phase start: the reference's
+        # fixed λ_coh schedule saturates on high-chroma scenes (BASELINE.md
+        # round-3 bisect: grad ratio 450x at λ=1.0 → 7.5 dB garbage) and
+        # never detects it. Two scratch probe steps, trajectory untouched.
+        if (scfg.loss_coh_lambda > 0
+                and int(sstate.step) == cfg.origin_step):
+            from tgtc.train.style3d import (
+                COH_RATIO_WARN, coherence_grad_ratio,
+            )
+
+            diag_fn = make_style_train_step(
+                cm, fm, nstate.params_coarse, nstate.params_fine,
+                concat_model, style_model, scfg, mesh=self.mesh,
+                with_grad_ratio=True,
+            )
+            ratio, g_coh, g_rgb = coherence_grad_ratio(
+                diag_fn, sstate, data, jax.random.PRNGKey(cfg.seed + 9))
+            self.log.log(int(sstate.step),
+                         {"coh_grad_ratio": ratio, "grad_norm_coh": g_coh,
+                          "grad_norm_rgb": g_rgb}, prefix="COH DIAG")
+            if ratio > COH_RATIO_WARN:
+                suggested = cfg.loss_coh_lambda * COH_RATIO_WARN / ratio
+                if cfg.coh_lambda_auto:
+                    scfg = dataclasses.replace(
+                        scfg, loss_coh_lambda=suggested)
+                    print(
+                        f"[coh-diag] coherence gradient dominates rgb "
+                        f"{ratio:.0f}x; coh_lambda_auto rescaled "
+                        f"loss_coh_lambda {cfg.loss_coh_lambda:g} -> "
+                        f"{suggested:.3g}", flush=True)
+                else:
+                    print(
+                        "\n" + "!" * 72 + "\n"
+                        f"[coh-diag] WARNING: the coherence loss gradient "
+                        f"is {ratio:.0f}x the rgb gradient at Phase-E "
+                        f"start (threshold {COH_RATIO_WARN:.0f}x). This "
+                        f"regime trains a visually dead run on "
+                        f"high-chroma scenes. Suggested: "
+                        f"--loss_coh_lambda {suggested:.3g} (or set "
+                        f"--coh_lambda_auto). Reference math unchanged.\n"
+                        + "!" * 72, flush=True)
+
         # K steps per dispatch: Phase E's 256×2-ray batches are
         # dispatch-latency-bound one step at a time (~20 steps/s round 2);
         # scanning K steps in one launch amortizes it. Identical numerics
@@ -872,6 +915,7 @@ class Pipeline:
             # pass runs sigma-only (trunk kernel), skipping ~63% of its
             # style-chain compute
             coarse_rgb=False,
+            fine_budget=cfg.fine_budget or None,
         )
         from tgtc.train.render_style import render_stylized_frames_fused
 
@@ -903,6 +947,7 @@ class Pipeline:
                 num_freq_dir=cfg.embed_freq_dir, depth=cfg.netdepth,
                 width=cfg.netwidth, depth_fine=cfg.netdepth_fine,
                 width_fine=cfg.netwidth_fine, coarse_rgb=False,
+                fine_budget=cfg.fine_budget or None,
             )
             rfn = renderer.render_image
         else:
@@ -949,7 +994,6 @@ class Pipeline:
 
         cfg = self.cfg
         cm, fm, state, train_cfg = self._nerf_setup()
-        render_fn = make_render_fn(cm, fm, train_cfg, mesh=self.mesh)
         v = self.scene.i_test if view is None else view
         h, w, _ = self.scene.hwf
         ro, rd = rays_for_poses(
@@ -957,11 +1001,34 @@ class Pipeline:
             jnp.asarray(self.scene.poses[v : v + 1]),
             use_ndc=not cfg.no_ndc, pixel_alignment=cfg.pixel_alignment,
         )
-        out = render_image(
-            render_fn, state.params_coarse, state.params_fine,
-            jnp.reshape(ro, (-1, 3)), jnp.reshape(rd, (-1, 3)),
-            block=self._render_block,
-        )
+        if cfg.use_pallas and jax.default_backend() != "cpu":
+            # same fused path as the renders (full budget: eval measures
+            # quality, not throughput) — ~4x cheaper than the XLA path
+            from tgtc.render.fast import FusedNerfRenderer
+            from tgtc.render.volume import RenderSettings
+
+            renderer = FusedNerfRenderer.from_params(
+                state.params_coarse, state.params_fine,
+                RenderSettings(
+                    n_samples=cfg.N_samples,
+                    n_samples_fine=cfg.N_samples_fine,
+                    near=self.near, far=self.far, sigma_noise_std=0.0,
+                    white_bkgd=cfg.white_bkgd,
+                ),
+                num_freq_coor=cfg.embed_freq_coor,
+                num_freq_dir=cfg.embed_freq_dir, depth=cfg.netdepth,
+                width=cfg.netwidth, depth_fine=cfg.netdepth_fine,
+                width_fine=cfg.netwidth_fine, coarse_rgb=False,
+            )
+            out = renderer.render_image(
+                jnp.reshape(ro, (-1, 3)), jnp.reshape(rd, (-1, 3)))
+        else:
+            render_fn = make_render_fn(cm, fm, train_cfg, mesh=self.mesh)
+            out = render_image(
+                render_fn, state.params_coarse, state.params_fine,
+                jnp.reshape(ro, (-1, 3)), jnp.reshape(rd, (-1, 3)),
+                block=self._render_block,
+            )
         gt = jnp.asarray(self.scene.images[v]).reshape(-1, 3)
         mse = jnp.mean((out["rgb"] - gt) ** 2)
         psnr = float(mse2psnr(mse))

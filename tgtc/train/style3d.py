@@ -155,6 +155,7 @@ def make_style_train_step(
     cfg: StyleTrainConfig,
     mesh=None,
     k_steps: int = 1,
+    with_grad_ratio: bool = False,
 ):
     """Build the jitted Phase-E step:
     ``(state, data: StyleSceneData, key) -> (state, metrics)``.
@@ -313,10 +314,29 @@ def make_style_train_step(
             "loss_logp": aux["loss_logp"],
             "loss_coh": aux["loss_coh"],
         }
+        if with_grad_ratio:
+            # per-term gradient norms for the coherence-regime diagnostic
+            # (coherence_grad_ratio below): two extra backward passes,
+            # only ever built for the one-off scratch dispatch at Phase-E
+            # start — never in the production step
+            g_rgb = jax.grad(lambda p: loss_fn(p)[1]["loss_rgb"])(
+                state.params)
+            g_coh = jax.grad(lambda p: loss_fn(p)[1]["loss_coh"])(
+                state.params)
+            coh_scale = (
+                (state.step <= cfg.coh_until_step).astype(jnp.float32)
+                * cfg.loss_coh_lambda
+            )
+            metrics["grad_norm_rgb"] = optax.global_norm(g_rgb)
+            metrics["grad_norm_coh"] = (
+                coh_scale * optax.global_norm(g_coh))
         return new_state, metrics
 
     if k_steps == 1:
-        return jax.jit(step_fn, donate_argnums=(0,))
+        # diagnostic mode must NOT donate: the caller reuses the probed
+        # state for the real training run (coherence_grad_ratio)
+        donate = () if with_grad_ratio else (0,)
+        return jax.jit(step_fn, donate_argnums=donate)
 
     def scan_fn(state: StyleTrainState, data: StyleSceneData, key: jax.Array):
         def body(st, _):
@@ -325,3 +345,33 @@ def make_style_train_step(
         return jax.lax.scan(body, state, None, length=k_steps)
 
     return jax.jit(scan_fn, donate_argnums=(0,))
+
+
+# ||grad(λ·coh)|| / ||grad(rgb)|| above this is the saturation regime:
+# the coherence term owns the update and Phase-E rgb quality dies
+# (BASELINE.md round-3 bisect: 450x dominance at λ=1.0 on the spec scene
+# → 7.5 dB renders; λ=0.02 → 35.2 dB)
+COH_RATIO_WARN = 10.0
+
+
+def coherence_grad_ratio(
+    diag_step_fn, state: StyleTrainState, data: StyleSceneData,
+    key: jax.Array,
+) -> Tuple[float, float, float]:
+    """Measure the rgb-vs-coherence gradient-norm ratio at Phase-E start.
+
+    Runs TWO scratch steps with a ``with_grad_ratio=True`` step function
+    (the coherence stream needs one step of buffer history before it is
+    active) and reads the norms from the second; the probed states are
+    discarded, so the production trajectory is bit-identical to a run
+    without the diagnostic. The reference's fixed λ_coh schedule
+    (/root/reference/train_tgtcs.py:482-483) has no such check — a config
+    replayed on a high-chroma scene silently trains a dead run.
+
+    Returns ``(ratio, grad_norm_coh, grad_norm_rgb)``.
+    """
+    st, _ = diag_step_fn(state, data, key)
+    _, m = diag_step_fn(st, data, key)
+    g_rgb = float(m["grad_norm_rgb"])
+    g_coh = float(m["grad_norm_coh"])
+    return g_coh / max(g_rgb, 1e-12), g_coh, g_rgb
