@@ -41,6 +41,10 @@ def main():
                          "frames can share a launch); amortizes the "
                          "per-frame tail-block padding — VERDICT r2 "
                          "item 9's experiment")
+    ap.add_argument("--fine_budget", type=int, default=0,
+                    help="early ray termination: fine style chain on only "
+                         "the top-N merged samples per ray (0 = off; see "
+                         "ops.sampling.select_sample_budget)")
     args = ap.parse_args()
     key = jax.random.PRNGKey(0)
     nerf_cfg = NerfConfig()
@@ -53,6 +57,7 @@ def main():
         state.params_coarse, state.params_fine, pcat, psty, lat,
         RenderSettings(n_samples=64, n_samples_fine=64, sigma_noise_std=0.0),
         coarse_rgb=args.coarse_rgb,
+        fine_budget=args.fine_budget or None,
     )
 
     ro = jax.random.uniform(key, (BLOCK, 3), minval=-1, maxval=1)
@@ -89,6 +94,7 @@ def main():
         "rays_per_sec": round(reps * blocks_per_tape * BLOCK / dt, 1),
         "coarse_rgb": args.coarse_rgb,
         "frames_per_dispatch": fpd,
+        "fine_budget": args.fine_budget,
     }))
 
 

@@ -158,3 +158,41 @@ def test_fused_style_non_default_trunk():
                                atol=4e-2)
     np.testing.assert_allclose(np.asarray(sigma_t[0]),
                                np.asarray(out["sigma"]), atol=2e-1)
+
+
+def test_style_fine_budget_runs_and_full_budget_identity():
+    """Early ray termination on the stylized path: full budget takes the
+    exact path; a mid budget produces finite, sane outputs (the selection
+    math itself is pinned in tests/test_fine_budget.py)."""
+    from tgtc.models.style_field import init_latents
+    from tgtc.render.fast_style import FusedStyleRenderer
+    from tgtc.render.volume import RenderSettings
+
+    key = jax.random.PRNGKey(0)
+    nerf_cfg = NerfConfig()
+    _, npc = make_nerf(nerf_cfg, key)
+    _, npf = make_nerf(nerf_cfg, jax.random.fold_in(key, 1))
+    field = StyleFieldConfig(style_d=8, width=256, latent_dim=32,
+                             embed_dim=nerf_cfg.input_ch)
+    _, pc, _, ps = make_style_mlps(field, jax.random.fold_in(key, 2))
+    lat = init_latents(jax.random.fold_in(key, 3), 1, 4, 32)
+    mk = lambda budget: FusedStyleRenderer.from_params(
+        npc, npf, pc, ps, lat,
+        RenderSettings(n_samples=8, n_samples_fine=8, sigma_noise_std=0.0),
+        tile=128, interpret=True, llff_tile=False, coarse_rgb=False,
+        fine_budget=budget,
+    )
+    ro = jax.random.uniform(key, (64, 3), minval=-0.5, maxval=0.5)
+    rd = jax.random.normal(key, (64, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    sid = jnp.zeros(64, jnp.int32)
+    fid = jnp.ones(64, jnp.int32)
+    rkey = jax.random.PRNGKey(7)
+    out_none = mk(None).render(ro, rd, sid, fid, rkey)
+    out_b16 = mk(16).render(ro, rd, sid, fid, rkey)  # == nc+nf
+    np.testing.assert_array_equal(np.asarray(out_none["rgb"]),
+                                  np.asarray(out_b16["rgb"]))
+    out_b12 = mk(12).render(ro, rd, sid, fid, rkey)
+    rgb = np.asarray(out_b12["rgb"])
+    assert rgb.shape == (64, 3) and np.all(np.isfinite(rgb))
+    assert np.all((rgb >= 0.0) & (rgb <= 1.0))
