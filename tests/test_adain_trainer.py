@@ -7,6 +7,7 @@ import numpy as np
 from tgtc.models.adain_net import make_adain_net
 from tgtc.ops.rasterize import llff_projection_matrix
 from tgtc.train.adain_trainer import (
+import pytest
     AdainTrainConfig,
     init_adain_train,
     make_adain_finetune_step,
@@ -19,6 +20,7 @@ def _first_leaf(p, key):
 
 
 class TestAdainTrainers:
+    @pytest.mark.slow
     def test_finetune_decoder_only(self):
         model, params = make_adain_net(jax.random.PRNGKey(0), image_size=32)
         cfg = AdainTrainConfig()
@@ -35,6 +37,7 @@ class TestAdainTrainers:
             _first_leaf(state2.params, "vgg"), before["vgg"]
         )
 
+    @pytest.mark.slow
     def test_temporal_variant(self):
         model, params = make_adain_net(jax.random.PRNGKey(0), image_size=16)
         cfg = AdainTrainConfig()

@@ -14,6 +14,7 @@ import numpy as np
 
 from tgtc.models.stytrans import make_stytrans
 from tgtc.models.transformer import TransformerConfig
+import pytest
 
 CFG_F32 = TransformerConfig(d_model=32, nhead=2, num_encoder_layers=1,
                             num_decoder_layers=1, dim_feedforward=32,
@@ -23,6 +24,7 @@ CFG_BF16 = TransformerConfig(d_model=32, nhead=2, num_encoder_layers=1,
                              dropout=0.0, dtype=jnp.bfloat16)
 
 
+@pytest.mark.slow
 def test_param_tree_identical_across_dtypes():
     m32, p32 = make_stytrans(jax.random.PRNGKey(0), CFG_F32, image_size=32)
     m16, p16 = make_stytrans(jax.random.PRNGKey(0), CFG_BF16, image_size=32)
@@ -32,6 +34,7 @@ def test_param_tree_identical_across_dtypes():
         assert a.dtype == b.dtype == jnp.float32  # params stay f32
 
 
+@pytest.mark.slow
 def test_bf16_losses_match_f32():
     key = jax.random.PRNGKey(1)
     m32, params = make_stytrans(jax.random.PRNGKey(0), CFG_F32, image_size=32)
@@ -53,6 +56,7 @@ def test_bf16_losses_match_f32():
         assert abs(a - b) <= 0.08 * max(abs(a), abs(b), 1e-3), (name, a, b)
 
 
+@pytest.mark.slow
 def test_bf16_gradients_flow_and_are_finite():
     import optax
 

@@ -43,6 +43,7 @@ use_viewdir
     return str(cfg)
 
 
+@pytest.mark.slow
 def test_cli_trains_phase_a(tiny_config_file, tmp_path, monkeypatch):
     # stub the (slow, full-size-network) phases past B so the CLI test stays
     # a CLI test: dispatch, config-file parsing, Phase A, auto-eval, B
@@ -61,6 +62,7 @@ def test_cli_trains_phase_a(tiny_config_file, tmp_path, monkeypatch):
     assert "psnr" in logged and "holdout_view" in logged
 
 
+@pytest.mark.slow
 def test_cli_render_valid(tiny_config_file, tmp_path):
     # second invocation: plain validation render from the checkpoint
     rc = main(["--config", tiny_config_file, "--render_valid"])

@@ -175,6 +175,7 @@ def test_requires_seed():
         flash_attention(q, k, v, dropout_rate=0.1)
 
 
+@pytest.mark.slow
 def test_styletransformer_flash_matches_xla():
     """Full StyleTransformer fwd: attn_impl='flash' vs 'xla' with shared
     params (deterministic — dropout implementations differ by design)."""
@@ -213,6 +214,7 @@ def test_styletransformer_rectangular_content_style():
     assert float(jnp.max(jnp.abs(o_x - o_f))) < 1e-2
 
 
+@pytest.mark.slow
 def test_styletransformer_flash_train_mode_runs():
     """Dropout path end-to-end through flax rngs: grads are finite and the
     same dropout rng gives identical results."""

@@ -50,6 +50,7 @@ class TestFusedGrad:
                                    np.asarray(ref["sigma"]),
                                    rtol=5e-2, atol=1e-1)
 
+    @pytest.mark.slow
     def test_param_grads_no_worse_than_production_bf16(self, setup):
         """The kernel backward runs bf16 matmuls (like the production XLA
         bf16 compute path). Yardstick: per-layer gradient error vs the f32

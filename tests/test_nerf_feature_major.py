@@ -17,6 +17,7 @@ from tgtc.models.nerf import NerfConfig, make_nerf, nerf_apply, nerf_apply_t
                skips=(2,), compute_dtype=jnp.float32),
     NerfConfig(use_viewdir=True, compute_dtype=jnp.float32),
 ])
+@pytest.mark.slow
 def test_forward_and_grad_parity(cfg):
     model, params = make_nerf(cfg, jax.random.PRNGKey(0))
     pts = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
@@ -41,6 +42,7 @@ def test_forward_and_grad_parity(cfg):
                                    atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_siren_forward_parity():
     """Shallow SIREN only: sin(30·) composed 8 deep is a chaotic map where
     f32 summation-order noise amplifies to O(1) — pointwise comparison is

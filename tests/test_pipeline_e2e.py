@@ -112,6 +112,7 @@ def test_resume_from_checkpoint(synthetic_llff_dir, style_dir, tmp_path):
     p2.close()
 
 
+@pytest.mark.slow
 def test_evaluate_holdout(synthetic_llff_dir, style_dir, tmp_path):
     """PSNR evaluation on the holdout view after a short Phase-A run."""
     cfg = Config(

@@ -217,6 +217,7 @@ class TestStyleTrainStep:
         np.testing.assert_array_equal(np.asarray(chunk.coh_x),
                                       np.asarray(seq.coh_x))
 
+    @pytest.mark.slow
     def test_k_step_scan_under_mesh_matches_sequential(self, cpu_mesh8):
         """Phase E's PRODUCTION DISPATCH SHAPE: K>1 scanned steps per
         dispatch with data-axis sharding (pipeline.train_style3d runs
@@ -331,6 +332,7 @@ class TestCoherenceDiagnostic:
                                      with_grad_ratio=True)
         return diag, state, data
 
+    @pytest.mark.slow
     def test_ratio_linear_in_lambda_and_warn_regime(self):
         from tgtc.train.style3d import COH_RATIO_WARN, coherence_grad_ratio
 

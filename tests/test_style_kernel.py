@@ -128,6 +128,7 @@ def test_sigma_only_coarse_identical_fine():
                                   np.asarray(out_sig["t_exp"]))
 
 
+@pytest.mark.slow
 def test_fused_style_non_default_trunk():
     """Regression: pack_style_params once assumed a 256-wide trunk."""
     key = jax.random.PRNGKey(0)

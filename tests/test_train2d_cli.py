@@ -68,11 +68,13 @@ class TestTrain2dCli:
         assert main(argv) == 0
         assert _ckpt_exists(tmp_path, "vae")
 
+    @pytest.mark.slow
     def test_finetune_decoder_task(self, tmp_path):
         argv = _common(tmp_path, "finetune_decoder", [])
         assert main(argv) == 0
         assert _ckpt_exists(tmp_path, "adain_decoder")
 
+    @pytest.mark.slow
     def test_temporal_decoder_task(self, tmp_path):
         h = w = 16
         gen = tmp_path / "gen"
@@ -88,6 +90,7 @@ class TestTrain2dCli:
         assert main(argv) == 0
         assert _ckpt_exists(tmp_path, "adain_temporal")
 
+    @pytest.mark.slow
     def test_transformer_task(self, tmp_path):
         gen = tmp_path / "gen2"
         _write_images(str(gen), n=3, size=40, seed=4)
@@ -195,6 +198,7 @@ class TestTrain2dCli:
         assert mags[0] == pytest.approx(1e-4, rel=1e-3)
         assert mags[9] == pytest.approx(1e-5, rel=1e-3)
 
+    @pytest.mark.slow
     def test_transformer_resume(self, tmp_path):
         gen = tmp_path / "gen3"
         _write_images(str(gen), n=3, size=40, seed=5)

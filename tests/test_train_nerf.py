@@ -8,6 +8,7 @@ import numpy as np
 
 from tgtc.models.nerf import NerfConfig
 from tgtc.train.nerf_trainer import (
+import pytest
     NerfTrainConfig,
     init_state,
     make_render_fn,
@@ -69,6 +70,7 @@ class TestTrainStep:
         )
         assert int(s2.step) == 4
 
+    @pytest.mark.slow
     def test_k_step_scan_under_mesh_matches_sequential(self, cpu_mesh8):
         """THE PRODUCTION DISPATCH SHAPE: K>1 lax.scan steps per dispatch
         *with* data-axis sharding (pipeline.train_nerf runs K=50 + mesh on

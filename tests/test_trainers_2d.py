@@ -78,6 +78,7 @@ class TestTransformerTrain:
             first_leaf(state2.params, "embedding"), before["embedding"]
         )
 
+    @pytest.mark.slow
     def test_uint8_batches_bitwise_match_f32(self, net):
         """uint8 batches (the production prefetcher output since round 3)
         divide by 255 ON DEVICE — same values as the f32 path; XLA may
