@@ -65,7 +65,11 @@ PEAK_TFLOPS_BF16 = 197.0
 
 H, W = 756, 1008
 BLOCK = 1 << 14  # rays per fused render call
-ERT_FINE_BUDGET = 64  # early-ray-termination variant: fine MLP on 64/128
+# early-ray-termination variant: fine MLP on the top 80/128 samples —
+# the quality-validated production point: holdout GT-PSNR delta -0.01 dB
+# at 20k AND 100k training steps on the realscale scene (BASELINE.md
+# round 4; budget 64 measures +2-4 dB there and is NOT the default)
+ERT_FINE_BUDGET = 80
 
 
 def _flops_per_ray(nc=64, nf_tot=128, fine_budget=None):

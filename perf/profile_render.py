@@ -119,6 +119,46 @@ def main():
             prev = t
         print(f"  full pipeline → {B / prev:,.0f} rays/s")
 
+    # ERT (fine_budget) bisect: where does the selection cost land?
+    from tgtc.ops.sampling import select_sample_budget
+
+    def stage_ert(upto, budget):
+        @jax.jit
+        def f(ro, rd):
+            _, ts = sample_along_rays_uniform(ro, rd, NC, near=0.0, far=1.0)
+            pt, _ = _points_t(ro, rd, ts)
+            sig_t = fused_nerf_sigma_apply_t(*pc, pt)
+            weights = sigma_weights(sig_t.reshape(B, NC), ts)
+            ts_mid = 0.5 * (ts[..., 1:] + ts[..., :-1])
+            t_new = sample_pdf(ts_mid, weights[..., 1:-1], NFINE)
+            ts_f = jnp.sort(jnp.concatenate([ts, t_new], -1), -1)
+            if upto == "resample_sort":
+                return jnp.sum(ts_f)
+            ts_k, deltas_k = select_sample_budget(
+                ts_f, ts, sig_t.reshape(B, NC), budget)
+            if upto == "select":
+                return jnp.sum(ts_k) + jnp.sum(deltas_k)
+            ptf, dtf = _points_t(ro, rd, ts_k)
+            rgb_t2, sigma_t2 = fused_nerf_apply_t(*pf, ptf, dtf)
+            if upto == "fine_mlp":
+                return jnp.sum(rgb_t2)
+            rgb_f = rgb_t2.reshape(3, B, budget).transpose(1, 2, 0)
+            comp_f = alpha_composite(rgb_f, sigma_t2.reshape(B, budget),
+                                     ts_k, deltas=deltas_k)
+            return jnp.sum(comp_f.rgb)
+
+        return f
+
+    for budget in (80, 64):
+        print(f"== ERT bisect (B={B}, fine_budget={budget}) ==")
+        prev = 0.0
+        for upto in ["resample_sort", "select", "fine_mlp", "full"]:
+            t = timeit(stage_ert(upto, budget), ro, rd)
+            print(f"  {upto:14s}: {t * 1000:7.1f} ms "
+                  f"(+{(t - prev) * 1000:6.1f})")
+            prev = t
+        print(f"  full ERT pipeline → {B / prev:,.0f} rays/s")
+
     # sort vs merge
     _, ts = jax.jit(lambda o, d: sample_along_rays_uniform(o, d, NC))(ro, rd)
     # weights [R, B-1] for bins [R, B], as the real path slices them
