@@ -3,11 +3,11 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tgtc.models.adain_net import make_adain_net
 from tgtc.ops.rasterize import llff_projection_matrix
 from tgtc.train.adain_trainer import (
-import pytest
     AdainTrainConfig,
     init_adain_train,
     make_adain_finetune_step,

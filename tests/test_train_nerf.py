@@ -5,10 +5,10 @@ pyramid is new)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tgtc.models.nerf import NerfConfig
 from tgtc.train.nerf_trainer import (
-import pytest
     NerfTrainConfig,
     init_state,
     make_render_fn,
