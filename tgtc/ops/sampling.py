@@ -163,6 +163,7 @@ def select_sample_budget(
     ts_coarse: jnp.ndarray,
     sigma_coarse: jnp.ndarray,
     budget: int,
+    grid: Optional[Tuple[float, float]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Early ray termination / empty-space skip as a static-shape top-K.
 
@@ -189,17 +190,35 @@ def select_sample_budget(
     equals the full composite with the dropped samples' alphas forced to
     zero. The approximation error is exactly the dropped weight mass,
     which the score ordering minimises.
+
+    ``grid``: optional ``(near, far)``. Pass it ONLY when ``ts_coarse`` is
+    the unperturbed uniform linspace over that range (the plain-NeRF fused
+    render path) — the coarse-bin lookup then becomes a direct floor
+    instead of the comparison-count. Perturbed or disparity-spaced grids
+    (the style render path) must leave it ``None``.
     """
     r, m = ts_all.shape
     nc = ts_coarse.shape[-1]
     if not 0 < budget <= m:
         raise ValueError(f"budget {budget} must be in (0, {m}]")
 
-    # coarse interval of each merged sample: count(ts_coarse <= t) - 1
-    idx_bin = jnp.sum(
-        (ts_coarse[:, None, :] <= ts_all[:, :, None]).astype(jnp.int32),
-        axis=-1,
-    ) - 1
+    if grid is not None:
+        # caller guarantees ts_coarse is the UNPERTURBED linspace over
+        # [near, far]: the coarse interval is a direct floor, skipping the
+        # [R, M, NC] comparison-count. The +1e-4 (in bin units, far above
+        # fp error, far below any real in-bin offset) keeps samples that
+        # sit exactly on a grid point in their own bin. Bitwise-equal to
+        # the comparison-count on the fused render shapes — measured
+        # 3.46 vs 3.84 ms/16k-ray block (perf/ert_select_lab.py).
+        near, far = grid
+        step = (far - near) / (nc - 1)
+        idx_bin = jnp.floor((ts_all - near) / step + 1e-4).astype(jnp.int32)
+    else:
+        # coarse interval of each merged sample: count(ts_coarse <= t) - 1
+        idx_bin = jnp.sum(
+            (ts_coarse[:, None, :] <= ts_all[:, :, None]).astype(jnp.int32),
+            axis=-1,
+        ) - 1
     idx_bin = jnp.clip(idx_bin, 0, nc - 1)
     oh_bin = (idx_bin[..., None] == jnp.arange(nc)).astype(ts_all.dtype)
     sigma_est = jnp.einsum("rmb,rb->rm", oh_bin, sigma_coarse)  # [R, M]

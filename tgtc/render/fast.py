@@ -117,8 +117,11 @@ def make_fused_render_fn(
         ts_f = jnp.sort(jnp.concatenate([ts, t_new], axis=-1), axis=-1)
 
         if fine_budget is not None:
+            # grid= is safe here: this path's coarse grid is always the
+            # unperturbed linspace (no key/harmony above)
             ts_f, deltas_f = select_sample_budget(
-                ts_f, ts, sigma_c, fine_budget)
+                ts_f, ts, sigma_c, fine_budget,
+                grid=(settings.near, settings.far))
             n_eval = fine_budget
         else:
             deltas_f, n_eval = None, nf
