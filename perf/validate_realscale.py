@@ -232,6 +232,11 @@ def main():
                     choices=["smooth", "spec"],
                     help="spec = high-frequency textures + Blinn-Phong "
                          "glossy planes (view-dependent radiance)")
+    ap.add_argument("--spiral", action="store_true",
+                    help="after phase F, time the 120-pose valid-spiral "
+                         "render x all styles (the reference's flagship "
+                         "artifact: rendering.py:93-239) incl. PNG/depth "
+                         "IO and the turntable video")
     ap.add_argument("--ert_sweep", default="",
                     help="comma-separated fine_budget values (e.g. "
                          "'96,80,64,48'): after Phase A, render the "
@@ -311,6 +316,21 @@ def main():
             "phaseF_dir": out_dir,
             "phaseF_pngs": nfiles,
             "phaseF_seconds": round(time.perf_counter() - t0, 1),
+        })
+        print(json.dumps(result), flush=True)
+
+    if args.spiral:
+        t0 = time.perf_counter()
+        out_dir = pipe.render_stylized("valid")
+        dt = time.perf_counter() - t0
+        pngs = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+        frames = len([f for f in pngs if "depth" not in f])
+        result.update({
+            "spiral_dir": out_dir,
+            "spiral_pngs": len(pngs),
+            "spiral_frames": frames,
+            "spiral_seconds": round(dt, 1),
+            "spiral_frames_per_min": round(frames / (dt / 60.0), 2),
         })
         print(json.dumps(result), flush=True)
     pipe.close()
