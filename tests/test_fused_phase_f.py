@@ -72,10 +72,11 @@ def test_fused_stylized_render_through_pipeline(
     files = sorted(f for f in os.listdir(out_dir)
                    if "depth" not in f and f.endswith(".png"))
     assert len(files) == 8  # 8 training views, 1 style
-    img = np.asarray(
-        __import__("PIL.Image", fromlist=["Image"]).open(
-            os.path.join(out_dir, files[0])
-        )
-    )
+    Image_ = __import__("PIL.Image", fromlist=["Image"])
+    img = np.asarray(Image_.open(os.path.join(out_dir, files[0])))
     assert img.std() > 0  # non-constant render
+    # the turntable must have been STREAMED during the render (no PNG
+    # re-read): one gif frame per rendered view
+    gif = Image_.open(os.path.join(out_dir, "video.gif"))
+    assert getattr(gif, "n_frames", 1) == 8
     pipe.close()

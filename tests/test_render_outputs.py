@@ -76,3 +76,33 @@ def test_write_video(tmp_path):
     assert out.endswith(".gif") and os.path.getsize(out) > 0
     gif = Image.open(out)
     assert getattr(gif, "n_frames", 1) == 4
+
+
+def test_streaming_gif_writer(tmp_path):
+    """Frames streamed during the render produce the same artifact shape
+    as the post-hoc writer, in playback order."""
+    from PIL import Image
+
+    from tgtc.utils.video import StreamingGifWriter
+
+    out = str(tmp_path / "video.gif")
+    w = StreamingGifWriter(out, fps=10)
+    levels = [0, 85, 170, 255]
+    for v in levels:
+        w.add(np.full((8, 8, 3), v, np.uint8))
+    assert w.close() == out
+    gif = Image.open(out)
+    assert getattr(gif, "n_frames", 1) == 4
+    for i, v in enumerate(levels):  # order preserved
+        gif.seek(i)
+        assert abs(int(np.asarray(gif.convert("RGB"))[0, 0, 0]) - v) <= 2
+
+
+def test_streaming_gif_writer_abort(tmp_path):
+    from tgtc.utils.video import StreamingGifWriter
+
+    out = str(tmp_path / "video.gif")
+    w = StreamingGifWriter(out)
+    w.add(np.zeros((4, 4, 3), np.uint8))
+    w.abort()
+    assert not os.path.exists(out)

@@ -855,9 +855,10 @@ class Pipeline:
             "mu": sstate.mu, "logvar": sstate.logvar,
         }
         if cfg.use_pallas and jax.default_backend() != "cpu":
-            self._render_stylized_fused(
+            if self._render_stylized_fused(
                 nstate, sstate, latent_state, data, ro, rd, out_dir
-            )
+            ):
+                return out_dir  # turntable already streamed during render
         else:
             render_fn = make_stylized_render_fn(
                 cm, fm, concat_model, style_model,
@@ -889,9 +890,13 @@ class Pipeline:
             print(f"[video] skipped: {e}", flush=True)
 
     def _render_stylized_fused(self, nstate, sstate, latent_state, data,
-                               ro, rd, out_dir) -> None:
+                               ro, rd, out_dir) -> bool:
         """Phase F via the fused stylized-point kernel
-        (tgtc.render.fast_style) — the TPU hot path."""
+        (tgtc.render.fast_style) — the TPU hot path. Returns True when the
+        turntable video was assembled concurrently with the render (all
+        frames streamed); False means the caller must write it post-hoc
+        (resume runs re-render only missing frames, which breaks the
+        stream's playback order)."""
         from tgtc.render.fast_style import FusedStyleRenderer
         from tgtc.render.volume import RenderSettings
 
@@ -918,11 +923,29 @@ class Pipeline:
             fine_budget=cfg.fine_budget or None,
         )
         from tgtc.train.render_style import render_stylized_frames_fused
+        from tgtc.utils.video import StreamingGifWriter
 
-        render_stylized_frames_fused(
-            rend, ro, rd, range(data.style_num), out_dir,
-            jax.random.PRNGKey(cfg.seed + 10), block=self._render_block,
-        )
+        n_frames = data.style_num * ro.shape[0]
+        writer = StreamingGifWriter(os.path.join(out_dir, "video.gif"))
+        try:
+            rendered = render_stylized_frames_fused(
+                rend, ro, rd, range(data.style_num), out_dir,
+                jax.random.PRNGKey(cfg.seed + 10), block=self._render_block,
+                frame_sink=writer.add,
+            )
+        except BaseException:
+            writer.abort()
+            raise
+        if rendered != n_frames:  # resume run: stream misses on-disk frames
+            writer.abort()
+            return False
+        try:
+            path = writer.close()
+            print(f"[video] wrote {path} (streamed)", flush=True)
+            return True
+        except Exception as e:  # video is a convenience artifact
+            print(f"[video] stream failed ({e}); falling back", flush=True)
+            return False
 
     def render_plain(self, poses: str = "valid") -> str:
         """--render_valid / --render_train: plain NeRF renders

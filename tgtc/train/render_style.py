@@ -152,6 +152,7 @@ def render_stylized_frames_fused(
     key: jax.Array,
     block: int = 16384,
     skip_existing: bool = True,
+    frame_sink=None,
 ) -> int:
     """Phase F on the fused Pallas style kernel, streamed: frame assembly
     (block concat + clip + depth-normalize + uint8) happens ON DEVICE, the
@@ -159,6 +160,11 @@ def render_stylized_frames_fused(
     are dispatched before frame N's fetch — so device compute overlaps
     host PNG IO (this closed the round-2 gap of 8 end-to-end vs 19.6
     compute frames/min). Returns the number of frames rendered.
+
+    ``frame_sink``, if given, receives each rgb frame as a host uint8
+    [H, W, 3] array in playback order — the turntable video assembles
+    concurrently with the render instead of re-reading PNGs afterwards
+    (tgtc.utils.video.StreamingGifWriter).
 
     Reference analog: ``render_style`` /root/reference/rendering.py:93-239
     (chunked torch loop, fully serialized per chunk)."""
@@ -200,8 +206,11 @@ def render_stylized_frames_fused(
 
     def flush(entry):
         path, dpath, rgb8, t8 = entry
-        native.write_png_async(path, np.asarray(rgb8))
+        rgb_np = np.asarray(rgb8)
+        native.write_png_async(path, rgb_np)
         native.write_png_async(dpath, np.asarray(t8))
+        if frame_sink is not None:
+            frame_sink(rgb_np)
 
     rendered = 0
     pending = None

@@ -9,7 +9,9 @@ if imageio+ffmpeg happen to be available.
 from __future__ import annotations
 
 import os
+import queue
 import re
+import threading
 from typing import List, Optional
 
 
@@ -59,3 +61,72 @@ def write_video(
         duration=max(1, int(1000 / fps)), loop=0,
     )
     return out_path
+
+
+class StreamingGifWriter:
+    """Assemble the turntable GIF WHILE the renderer is producing frames.
+
+    GIF palette quantization dominates the post-hoc ``write_video`` cost
+    (measured ~0.77 s/frame at 756×1008 → 184 s for the reference's
+    120-pose × 2-style spiral, 27% of the artifact's wall time); the
+    LZW encode of pre-quantized P-mode frames is ~14 ms/frame. This
+    writer quantizes each frame on a background thread as it arrives —
+    at ~2 s/frame of device render time the host quantization is fully
+    hidden — and ``close()`` only runs the cheap encode.
+
+    Frames must be added in playback order. If the producer skipped
+    frames (resume), call ``abort()`` and fall back to ``write_video``.
+    """
+
+    def __init__(self, out_path: str, fps: int = 30, max_queue: int = 16):
+        self._out_path = out_path
+        self._duration = max(1, int(1000 / fps))
+        self._q: queue.Queue = queue.Queue(maxsize=max_queue)
+        self._frames: List = []  # quantized P-mode PIL images
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self) -> None:
+        from PIL import Image
+
+        while True:
+            frame = self._q.get()
+            if frame is None:
+                return
+            if self._err is not None:
+                continue  # drain after failure; abort/close handles it
+            try:
+                img = Image.fromarray(frame)
+                self._frames.append(
+                    img.quantize(256, method=Image.Quantize.MEDIANCUT))
+            except BaseException as e:  # noqa: BLE001 — surfaced at close
+                self._err = e
+
+    def add(self, frame) -> None:
+        """Queue one HxWx3 uint8 frame (host numpy). Blocks only if the
+        quantizer falls ``max_queue`` frames behind the renderer."""
+        self._q.put(frame)
+
+    @property
+    def n_frames(self) -> int:
+        return len(self._frames) + self._q.qsize()
+
+    def abort(self) -> None:
+        self._q.put(None)
+        self._thread.join()
+        self._frames.clear()
+
+    def close(self) -> str:
+        """Finish quantization, LZW-encode, and write the GIF."""
+        self._q.put(None)
+        self._thread.join()
+        if self._err is not None:
+            raise self._err
+        if not self._frames:
+            raise ValueError("no frames were streamed")
+        self._frames[0].save(
+            self._out_path, save_all=True, append_images=self._frames[1:],
+            duration=self._duration, loop=0,
+        )
+        return self._out_path
