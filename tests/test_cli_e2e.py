@@ -71,3 +71,4 @@ def test_cli_render_valid(tiny_config_file, tmp_path):
     out = exp / "render_valid"
     pngs = [f for f in os.listdir(out) if f.startswith("rgb_")]
     assert len(pngs) > 0
+    assert (out / "video.gif").exists()  # plain-render turntable

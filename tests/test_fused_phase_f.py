@@ -79,4 +79,12 @@ def test_fused_stylized_render_through_pipeline(
     # re-read): one gif frame per rendered view
     gif = Image_.open(os.path.join(out_dir, "video.gif"))
     assert getattr(gif, "n_frames", 1) == 8
+
+    # resume: frames already on disk are skipped, so the stream can't
+    # cover playback order — the post-hoc writer must take over and
+    # still produce a complete video
+    os.remove(os.path.join(out_dir, "video.gif"))
+    pipe.render_stylized("train")
+    gif = Image_.open(os.path.join(out_dir, "video.gif"))
+    assert getattr(gif, "n_frames", 1) == 8
     pipe.close()

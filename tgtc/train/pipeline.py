@@ -877,14 +877,15 @@ class Pipeline:
         self._write_turntable(out_dir)
         return out_dir
 
-    def _write_turntable(self, out_dir: str) -> None:
-        """Assemble Phase-F frames into a turntable video (the working
+    def _write_turntable(self, out_dir: str, pattern: str = None) -> None:
+        """Assemble rendered frames into a turntable video (the working
         version of the reference's commented-out imageio.mimwrite,
         /root/reference/rendering.py:224-239)."""
         from tgtc.utils.video import write_video
 
+        kw = {} if pattern is None else {"pattern": pattern}
         try:
-            path = write_video(out_dir)
+            path = write_video(out_dir, **kw)
             print(f"[video] wrote {path}", flush=True)
         except Exception as e:  # video is a convenience artifact
             print(f"[video] skipped: {e}", flush=True)
@@ -1005,6 +1006,7 @@ class Pipeline:
         errs = native.wait_writes()
         if errs:
             raise IOError(f"{errs} async png writes failed in {out_dir}")
+        self._write_turntable(out_dir, pattern=r"rgb_\d{5}\.png")
         return out_dir
 
     def evaluate(self, view: Optional[int] = None) -> float:
