@@ -237,6 +237,10 @@ def main():
                          "render x all styles (the reference's flagship "
                          "artifact: rendering.py:93-239) incl. PNG/depth "
                          "IO and the turntable video")
+    ap.add_argument("--fine_budget", type=int, default=0,
+                    help="opt-in ERT sample budget for the fused renders "
+                         "(0 = exact all-samples parity); 80 is the "
+                         "quality-validated production point")
     ap.add_argument("--ert_sweep", default="",
                     help="comma-separated fine_budget values (e.g. "
                          "'96,80,64,48'): after Phase A, render the "
@@ -276,6 +280,7 @@ def main():
         # 5.4e-4 (renders 35.2 dB)
         loss_coh_lambda=1.0 if args.scene_class == "smooth" else 0.02,
         use_pallas=True,
+        fine_budget=args.fine_budget,
     )
     pipe = Pipeline(cfg)
     pipe.vae_iters = 200
@@ -327,6 +332,7 @@ def main():
         frames = len([f for f in pngs if "depth" not in f])
         result.update({
             "spiral_dir": out_dir,
+            "spiral_fine_budget": args.fine_budget,
             "spiral_pngs": len(pngs),
             "spiral_frames": frames,
             "spiral_seconds": round(dt, 1),
