@@ -161,7 +161,11 @@ def ert_quality_sweep(pipe, budgets):
     and report throughput-free QUALITY numbers: PSNR vs GT and vs the full
     render (the <0.1 dB claim for the bench's ERT variant, VERDICT r3
     item 3). Reference workload: all-samples compositing,
-    /root/reference/utils.py:354-386."""
+    /root/reference/utils.py:354-386.
+
+    Each entry is either ``B`` (an int fine_budget, 0 = full) or a string
+    ``"BxS"`` adding coarse_share=S (shared coarse proposal across S
+    scanline-adjacent pixels, render.fast) — e.g. ``"80x2"``."""
     import jax
     import jax.numpy as jnp
 
@@ -181,7 +185,7 @@ def ert_quality_sweep(pipe, budgets):
     ro, rd = jnp.reshape(ro, (-1, 3)), jnp.reshape(rd, (-1, 3))
     gt = np.asarray(pipe.scene.images[v]).reshape(-1, 3)
 
-    def render(budget):
+    def render(budget, share=1):
         rend = FusedNerfRenderer.from_params(
             state.params_coarse, state.params_fine,
             RenderSettings(n_samples=cfg.N_samples,
@@ -193,7 +197,7 @@ def ert_quality_sweep(pipe, budgets):
             num_freq_dir=cfg.embed_freq_dir, depth=cfg.netdepth,
             width=cfg.netwidth, depth_fine=cfg.netdepth_fine,
             width_fine=cfg.netwidth_fine, coarse_rgb=False,
-            fine_budget=budget,
+            fine_budget=budget, coarse_share=share,
         )
         out = rend.render_image(ro, rd)
         return np.clip(np.asarray(out["rgb"]), 0.0, 1.0)
@@ -201,13 +205,20 @@ def ert_quality_sweep(pipe, budgets):
     def psnr(a, b):
         return float(-10.0 * np.log10(np.mean((a - b) ** 2) + 1e-12))
 
+    def parse(spec):
+        s = str(spec)
+        budget, _, share = s.partition("x")
+        return int(budget) or None, int(share or 1)
+
     full = render(None)
     psnr_full = psnr(gt, full)
     rows = []
-    for b in budgets:
-        img = render(b)
+    for spec in budgets:
+        b, share = parse(spec)
+        img = render(b, share)
         rows.append({
-            "fine_budget": b,
+            "fine_budget": b or 0,
+            "coarse_share": share,
             "psnr_gt_db": round(psnr(gt, img), 3),
             "psnr_delta_vs_full_db": round(psnr_full - psnr(gt, img), 3),
             "psnr_agreement_db": round(psnr(full, img), 2),
@@ -242,8 +253,9 @@ def main():
                          "(0 = exact all-samples parity); 80 is the "
                          "quality-validated production point")
     ap.add_argument("--ert_sweep", default="",
-                    help="comma-separated fine_budget values (e.g. "
-                         "'96,80,64,48'): after Phase A, render the "
+                    help="comma-separated fine_budget values, each "
+                         "optionally 'BxS' with coarse_share=S (e.g. "
+                         "'96,80,80x2,80x4'): after Phase A, render the "
                          "holdout view with each budget and report the "
                          "GT-PSNR delta vs the full fused render")
     args = ap.parse_args()
@@ -301,7 +313,7 @@ def main():
 
     if args.ert_sweep:
         result["ert"] = ert_quality_sweep(
-            pipe, [int(b) for b in args.ert_sweep.split(",")])
+            pipe, [b.strip() for b in args.ert_sweep.split(",")])
         print(json.dumps(result), flush=True)
 
     if args.full:

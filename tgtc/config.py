@@ -137,6 +137,12 @@ class Config:
     #                              ops.sampling.select_sample_budget).
     #                              Phase-B geometry dumps always render
     #                              full — depth maps feed later training.
+    coarse_share: int = 1        # shared coarse proposal for plain renders:
+    #                              run the coarse σ pass on every N-th ray
+    #                              and share its importance weights across
+    #                              each group of N scanline-adjacent pixels
+    #                              (render.fast coarse_share). 1 = off,
+    #                              exact reference parity.
     mesh_devices: int = 0        # 0 = all local devices
     seed: int = 0
     debug_nans: bool = False     # jax_debug_nans — the analog of the

@@ -56,6 +56,7 @@ def make_fused_render_fn(
     width_fine: int = None,
     coarse_rgb: bool = True,
     fine_budget: int = None,
+    coarse_share: int = 1,
 ):
     """Build a jitted ``(w1c, w2c, encc, w1f, w2f, encf, rays_o, rays_d) ->
     outputs`` render function using the fused trunk kernel for both passes.
@@ -69,14 +70,32 @@ def make_fused_render_fn(
     (default) keeps exact parity with the reference's evaluate-all path
     (/root/reference/utils.py:354-386).
 
-    Ray count must make R*(Nc) and R*(Nc+Nf) multiples of ``tile``
-    (R a multiple of tile works since Nc, Nc+Nf are powers of two / even).
+    ``coarse_share``: shared coarse proposal — evaluate the coarse σ pass
+    on every ``coarse_share``-th ray only and share its importance weights
+    (hence resampled/selected depths) across each group of ``coarse_share``
+    CONSECUTIVE rays; the fine MLP still evaluates every ray's own 3-D
+    points. Rays are image pixels in scanline order at render time, so a
+    group is horizontally adjacent pixels with near-identical depth
+    distributions (for even image widths a group never straddles a row).
+    The coarse pass exists only to steer fine sampling, exactly like a
+    low-res proposal network. 1 (default) = exact parity; >1 requires
+    ``coarse_rgb=False`` (a per-ray coarse image is no longer defined).
+
+    Ray count must make (R/coarse_share)*Nc and R*(Nc+Nf) multiples of
+    ``tile`` (R a multiple of tile*coarse_share works since Nc, Nc+Nf are
+    powers of two / even).
     """
     nc, nf = settings.n_samples, settings.n_samples + settings.n_samples_fine
     if fine_budget is not None and not 0 < fine_budget <= nf:
         raise ValueError(f"fine_budget {fine_budget} not in (0, {nf}]")
     if fine_budget == nf:
         fine_budget = None  # full budget: take the exact path
+    if coarse_share < 1:
+        raise ValueError(f"coarse_share {coarse_share} must be >= 1")
+    if coarse_share > 1 and coarse_rgb:
+        raise ValueError("coarse_share > 1 requires coarse_rgb=False: the "
+                         "shared coarse pass is a sampling proposal, not a "
+                         "per-ray coarse image")
     kw = dict(depth=depth, num_freq_coor=num_freq_coor,
               num_freq_dir=num_freq_dir, width=width, tile=tile,
               interpret=interpret)
@@ -85,15 +104,24 @@ def make_fused_render_fn(
     @jax.jit
     def render(w1c, w2c, encc, w1f, w2f, encf, rays_o, rays_d):
         r = rays_o.shape[0]
+        if r % coarse_share:
+            raise ValueError(
+                f"ray count {r} not divisible by coarse_share {coarse_share}"
+            )
+        # coarse proposal rays: all of them, or one representative per
+        # group of coarse_share consecutive (scanline-adjacent) rays
+        ro_c = rays_o[::coarse_share]
+        rd_c = rays_d[::coarse_share]
+        rc = ro_c.shape[0]
         pts_c, ts = sample_along_rays_uniform(
-            rays_o, rays_d, nc, near=settings.near, far=settings.far
+            ro_c, rd_c, nc, near=settings.near, far=settings.far
         )
         del pts_c  # rebuilt transposed
-        pt, dt = _points_t(rays_o, rays_d, ts)
+        pt, dt = _points_t(ro_c, rd_c, ts)
         if coarse_rgb:
             rgb_t, sigma_t = fused_nerf_apply_t(w1c, w2c, encc, pt, dt, **kw)
-            rgb_c = rgb_t.reshape(3, r, nc).transpose(1, 2, 0)
-            sigma_c = sigma_t.reshape(r, nc)
+            rgb_c = rgb_t.reshape(3, rc, nc).transpose(1, 2, 0)
+            sigma_c = sigma_t.reshape(rc, nc)
             comp_c = alpha_composite(rgb_c, sigma_c, ts,
                                      white_bkgd=settings.white_bkgd)
             weights_c = comp_c.weights
@@ -105,7 +133,7 @@ def make_fused_render_fn(
                 w1c, w2c, encc, pt, depth=kw["depth"],
                 num_freq_coor=num_freq_coor, width=width, tile=tile,
                 interpret=interpret)
-            sigma_c = sig_t.reshape(r, nc)
+            sigma_c = sig_t.reshape(rc, nc)
             weights_c = sigma_weights(sigma_c, ts)
 
         ts_mid = 0.5 * (ts[..., 1:] + ts[..., :-1])
@@ -125,6 +153,21 @@ def make_fused_render_fn(
             n_eval = fine_budget
         else:
             deltas_f, n_eval = None, nf
+
+        if coarse_share > 1:
+            # the whole proposal chain (σ → weights → resample → select)
+            # ran once per group; broadcast the shared depth set to every
+            # ray in the group — the fine pass below still evaluates each
+            # ray's OWN 3-D points at those depths
+            def expand(x):
+                k = x.shape[-1]
+                return jnp.broadcast_to(
+                    x[:, None, :], (rc, coarse_share, k)
+                ).reshape(r, k)
+
+            ts_f = expand(ts_f)
+            if deltas_f is not None:
+                deltas_f = expand(deltas_f)
 
         ptf, dtf = _points_t(rays_o, rays_d, ts_f)
         rgb_t, sigma_t = fused_nerf_apply_t(w1f, w2f, encf, ptf, dtf, **kw_f)
@@ -165,13 +208,14 @@ class FusedNerfRenderer:
     width_fine: int = None
     coarse_rgb: bool = True
     fine_budget: int = None
+    coarse_share: int = 1
 
     def __post_init__(self):
         self._fn = make_fused_render_fn(
             self.settings, self.tile, self.interpret, self.depth,
             self.num_freq_coor, self.num_freq_dir, self.width,
             self.depth_fine, self.width_fine, self.coarse_rgb,
-            self.fine_budget,
+            self.fine_budget, self.coarse_share,
         )
 
     @classmethod
@@ -190,6 +234,7 @@ class FusedNerfRenderer:
         width_fine: int = None,
         coarse_rgb: bool = True,
         fine_budget: int = None,
+        coarse_share: int = 1,
     ) -> "FusedNerfRenderer":
         pc = pack_nerf_params(params_coarse, depth=depth,
                               num_freq_coor=num_freq_coor,
@@ -202,7 +247,8 @@ class FusedNerfRenderer:
                    depth=depth, num_freq_coor=num_freq_coor,
                    num_freq_dir=num_freq_dir, width=width,
                    depth_fine=depth_fine, width_fine=width_fine,
-                   coarse_rgb=coarse_rgb, fine_budget=fine_budget)
+                   coarse_rgb=coarse_rgb, fine_budget=fine_budget,
+                   coarse_share=coarse_share)
 
     def render(self, rays_o: jnp.ndarray, rays_d: jnp.ndarray
                ) -> Dict[str, jnp.ndarray]:

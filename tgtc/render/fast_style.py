@@ -43,6 +43,7 @@ def make_fused_style_render_fn(
     trunk_width_fine: int = None,
     coarse_rgb: bool = True,
     fine_budget: int = None,
+    coarse_share: int = 1,
 ):
     """Jitted ``(packed_c(4), packed_f(4), latent_state, rays_o, rays_d,
     style_ids, frame_ids, key) → {"rgb", "t_exp"}`` renderer.
@@ -51,13 +52,25 @@ def make_fused_style_render_fn(
     (reference /root/reference/models.py:202-205); default = coarse dims.
     ``fine_budget``: early ray termination — run the fine style chain on
     only the N highest-estimated-contribution merged samples per ray
-    (ops.sampling.select_sample_budget); None = exact parity."""
+    (ops.sampling.select_sample_budget); None = exact parity.
+    ``coarse_share``: shared coarse proposal — run the sigma-only coarse
+    pass on every N-th ray and share the resampled/selected depth set
+    across each group of N consecutive (scanline-adjacent) rays; the fine
+    style chain still evaluates every ray's own points. Same semantics and
+    quality methodology as render.fast's flag; requires
+    ``coarse_rgb=False``. 1 (default) = exact parity."""
     nc = settings.n_samples
     nf = settings.n_samples + settings.n_samples_fine
     if fine_budget is not None and not 0 < fine_budget <= nf:
         raise ValueError(f"fine_budget {fine_budget} not in (0, {nf}]")
     if fine_budget == nf:
         fine_budget = None
+    if coarse_share < 1:
+        raise ValueError(f"coarse_share {coarse_share} must be >= 1")
+    if coarse_share > 1 and coarse_rgb:
+        raise ValueError("coarse_share > 1 requires coarse_rgb=False: the "
+                         "shared coarse pass is a sampling proposal, not a "
+                         "per-ray coarse image")
 
     kw = dict(depth=depth, num_freq_coor=num_freq_coor, style_d=style_d,
               style_width=style_width, latent_dim=latent_dim,
@@ -85,8 +98,15 @@ def make_fused_style_render_fn(
                                    white_bkgd=settings.white_bkgd,
                                    deltas=deltas), sigma
 
+        if r % coarse_share:
+            raise ValueError(
+                f"ray count {r} not divisible by coarse_share {coarse_share}"
+            )
+        ro_c = rays_o[::coarse_share]
+        rd_c = rays_d[::coarse_share]
+        rc = ro_c.shape[0]
         _, ts = sample_along_rays_uniform(
-            rays_o, rays_d, nc, near=settings.near, far=settings.far,
+            ro_c, rd_c, nc, near=settings.near, far=settings.far,
             key=key,  # perturb=True at render, reference parity
         )
         if coarse_rgb:
@@ -97,12 +117,12 @@ def make_fused_style_render_fn(
             # compositing weights, so skip the whole style chain
             # (~63% of the coarse pass's MXU passes). Identical fine
             # result — asserted in tests/test_style_kernel.py.
-            pt, _ = _points_t(rays_o, rays_d, ts)
+            pt, _ = _points_t(ro_c, rd_c, ts)
             sig_t = fused_sigma_apply_t(
                 wtc, wgc, encc, pt, depth=kw["depth"],
                 num_freq_coor=num_freq_coor, trunk_width=trunk_width,
                 tile=tile, interpret=interpret)
-            sigma_c = sig_t.reshape(r, nc)
+            sigma_c = sig_t.reshape(rc, nc)
             weights_c = sigma_weights(sigma_c, ts)
 
         ts_mid = 0.5 * (ts[..., 1:] + ts[..., :-1])
@@ -115,10 +135,21 @@ def make_fused_style_render_fn(
         if fine_budget is not None:
             from tgtc.ops.sampling import select_sample_budget
 
+            # no grid=: this path's coarse depths are per-ray perturbed
             ts_f, deltas_f = select_sample_budget(
                 ts_f, ts, sigma_c, fine_budget)
         else:
             deltas_f = None
+        if coarse_share > 1:
+            def expand(x):
+                k = x.shape[-1]
+                return jnp.broadcast_to(
+                    x[:, None, :], (rc, coarse_share, k)
+                ).reshape(r, k)
+
+            ts_f = expand(ts_f)
+            if deltas_f is not None:
+                deltas_f = expand(deltas_f)
         comp_f, _ = run((wtf, wsf, wgf, encf), ts_f, kw_f, deltas=deltas_f)
 
         out = {"rgb": comp_f.rgb, "t_exp": comp_f.t_exp}
@@ -151,6 +182,7 @@ class FusedStyleRenderer:
     trunk_width_fine: int = None
     coarse_rgb: bool = True
     fine_budget: int = None
+    coarse_share: int = 1
 
     def __post_init__(self):
         self._fn = make_fused_style_render_fn(
@@ -158,7 +190,7 @@ class FusedStyleRenderer:
             self.style_width, self.latent_dim, self.sigma_scale,
             self.llff_tile, self.tile, self.interpret, self.trunk_width,
             self.depth_fine, self.trunk_width_fine, self.coarse_rgb,
-            self.fine_budget,
+            self.fine_budget, self.coarse_share,
         )
 
     @classmethod
@@ -171,6 +203,7 @@ class FusedStyleRenderer:
         tile: int = 2048, interpret: bool = False, trunk_width: int = 256,
         depth_fine: int = None, trunk_width_fine: int = None,
         coarse_rgb: bool = True, fine_budget: int = None,
+        coarse_share: int = 1,
     ) -> "FusedStyleRenderer":
         pk = lambda npar, d, w: pack_style_params(
             npar, concat_params, style_params, depth=d,
@@ -184,7 +217,7 @@ class FusedStyleRenderer:
                    latent_state, settings, depth, num_freq_coor, style_d,
                    style_width, latent_dim, sigma_scale, llff_tile, tile,
                    interpret, trunk_width, depth_fine, trunk_width_fine,
-                   coarse_rgb, fine_budget)
+                   coarse_rgb, fine_budget, coarse_share)
 
     def render(self, rays_o, rays_d, style_ids, frame_ids, key):
         return self._fn(*self.packed_coarse, *self.packed_fine,

@@ -215,6 +215,26 @@ class Pipeline:
 
     # ------------------------------------------------------------- phase A
 
+    def _fused_render_ok(self) -> bool:
+        """FusedNerfRenderer eligibility: the plain-render kernel packs the
+        default relu trunk layout with a viewdir rgb head and skip at 4
+        (ops.pallas.nerf_mlp.pack_nerf_params). Other architectures (e.g.
+        use_viewdir=False, SIREN) fall back to the XLA render path instead
+        of failing with a shape error inside the kernel packer."""
+        cfg = self.cfg
+        return (cfg.use_pallas and jax.default_backend() != "cpu"
+                and cfg.act_type == "relu" and cfg.use_viewdir
+                and tuple(self.nerf_cfg.skips) == (4,))
+
+    def _fused_style_ok(self) -> bool:
+        """FusedStyleRenderer eligibility: same trunk-layout constraint as
+        :meth:`_fused_render_ok` minus the viewdir head (the style chain
+        discards trunk rgb — ops.pallas.style_kernel.pack_style_params)."""
+        cfg = self.cfg
+        return (cfg.use_pallas and jax.default_backend() != "cpu"
+                and cfg.act_type == "relu"
+                and tuple(self.nerf_cfg.skips) == (4,))
+
     def _nerf_setup(self):
         from tgtc.train.nerf_trainer import NerfTrainConfig, init_state
 
@@ -354,7 +374,7 @@ class Pipeline:
             near=self.near, far=self.far, sigma_noise_std=0.0,
             white_bkgd=cfg.white_bkgd,
         )
-        if cfg.use_pallas and jax.default_backend() != "cpu":
+        if self._fused_render_ok():
             renderer = FusedNerfRenderer.from_params(
                 state.params_coarse, state.params_fine, settings,
                 num_freq_coor=cfg.embed_freq_coor,
@@ -854,7 +874,7 @@ class Pipeline:
             "latents": sstate.params["latents"],
             "mu": sstate.mu, "logvar": sstate.logvar,
         }
-        if cfg.use_pallas and jax.default_backend() != "cpu":
+        if self._fused_style_ok():
             if self._render_stylized_fused(
                 nstate, sstate, latent_state, data, ro, rd, out_dir
             ):
@@ -963,7 +983,7 @@ class Pipeline:
             near=self.near, far=self.far, sigma_noise_std=0.0,
             white_bkgd=cfg.white_bkgd,
         )
-        use_fused = cfg.use_pallas and jax.default_backend() != "cpu"
+        use_fused = self._fused_render_ok()
         if use_fused:
             renderer = FusedNerfRenderer.from_params(
                 state.params_coarse, state.params_fine, settings,
@@ -972,6 +992,7 @@ class Pipeline:
                 width=cfg.netwidth, depth_fine=cfg.netdepth_fine,
                 width_fine=cfg.netwidth_fine, coarse_rgb=False,
                 fine_budget=cfg.fine_budget or None,
+                coarse_share=cfg.coarse_share,
             )
             rfn = renderer.render_image
         else:
@@ -1026,7 +1047,7 @@ class Pipeline:
             jnp.asarray(self.scene.poses[v : v + 1]),
             use_ndc=not cfg.no_ndc, pixel_alignment=cfg.pixel_alignment,
         )
-        if cfg.use_pallas and jax.default_backend() != "cpu":
+        if self._fused_render_ok():
             # same fused path as the renders (full budget: eval measures
             # quality, not throughput) — ~4x cheaper than the XLA path
             from tgtc.render.fast import FusedNerfRenderer
