@@ -4,6 +4,7 @@ compositing, pose interpolation, pyramid splat."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tgtc.models.adain_net import make_adain_net
 from tgtc.ops.composite import alpha_composite, alpha_composite_wild
@@ -11,6 +12,7 @@ from tgtc.data.poses import interpolate_poses, min_line_dist_center, normalize_c
 
 
 class TestAdainNet:
+    @pytest.mark.slow
     def test_losses_and_stylize(self):
         model, params = make_adain_net(jax.random.PRNGKey(0), image_size=32)
         c = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3))

@@ -5,6 +5,7 @@ loss, /root/reference/dataset.py:734-779)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tgtc.data.style_dataset import synthetic_style_scene
 from tgtc.models.nerf import NerfConfig, make_nerf
@@ -54,6 +55,7 @@ def test_coh_pixels_stable_within_cycle():
     )
 
 
+@pytest.mark.slow
 def test_step_key_coh_stability_end_to_end():
     """Two consecutive real train steps (frames 0 and 1 of a cycle) must
     gather the same pixels: verify by instrumenting the state counters and

@@ -42,6 +42,7 @@ class TestAsymmetricDims:
                   if k.startswith("base_") and k != "base_remap"]
         assert len(layers) == 3
 
+    @pytest.mark.slow
     def test_train_step_and_render(self):
         cm, fm, state = init_state(jax.random.PRNGKey(0), COARSE, TRAIN,
                                    fine_cfg=FINE)
@@ -114,6 +115,7 @@ class TestAsymmetricDims:
 
 
 class TestPipelineFineDims:
+    @pytest.mark.slow
     def test_pipeline_builds_fine_cfg(self, synthetic_llff_dir, tmp_path):
         from tgtc.config import Config
         from tgtc.train.pipeline import Pipeline

@@ -194,6 +194,7 @@ def test_styletransformer_flash_matches_xla():
     assert float(jnp.max(jnp.abs(o_x - o_f))) < 1e-2
 
 
+@pytest.mark.slow
 def test_styletransformer_rectangular_content_style():
     """Content and style grids of DIFFERENT sizes (full-res C3): output
     follows the content grid; flash and xla agree. Regression for the

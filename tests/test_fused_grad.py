@@ -121,6 +121,7 @@ class TestFusedGrad:
 
 
 class TestFusedTrainStep:
+    @pytest.mark.slow
     def test_trains_like_xla_step(self):
         """The fused train step reduces loss on a tiny overfit task and its
         loss trajectory stays close to the XLA step's (interpret mode)."""

@@ -48,6 +48,7 @@ class TestFusedKernel:
 
     @pytest.mark.parametrize("depth,width,fc,fd,skip",
                              [(4, 128, 6, 2, 2), (6, 64, 8, 3, 4)])
+    @pytest.mark.slow
     def test_non_default_architectures(self, depth, width, fc, fd, skip):
         """Packing must not assume the default 8x256/freq-10 shape
         (regression: width was hardcoded once)."""

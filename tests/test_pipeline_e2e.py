@@ -90,6 +90,7 @@ def test_full_pipeline_smoke(private_llff_dir, style_dir, tmp_path):
     pipe.close()
 
 
+@pytest.mark.slow
 def test_resume_from_checkpoint(synthetic_llff_dir, style_dir, tmp_path):
     """Re-entrancy: a second Pipeline resumes Phase A from the checkpoint
     instead of restarting (the reference's crash-restart story)."""

@@ -62,6 +62,7 @@ class TestSpherify:
 
 
 class TestNoNdc:
+    @pytest.mark.slow
     def test_pipeline_trains_and_renders_no_ndc(self, ring_scene_dir,
                                                 tmp_path):
         cfg = Config(

@@ -172,6 +172,7 @@ class TestStyleTrainStep:
         state2, m2 = step(state, data, key)
         assert np.isfinite(float(m2["loss_coh"]))
 
+    @pytest.mark.slow
     def test_k_step_scan_matches_sequential(self):
         """k_steps>1 (one lax.scan dispatch) must be bit-identical to the
         same number of sequential single-step calls — the key schedule
@@ -260,6 +261,7 @@ class TestStyleTrainStep:
         )
         assert int(chunk.step) == 2 * k
 
+    @pytest.mark.slow
     def test_nerf_params_not_trained(self):
         """Gradients must not flow into the frozen NeRF (stop_gradient)."""
         key = jax.random.PRNGKey(0)

@@ -53,6 +53,7 @@ def test_fused_style_matches_xla(width, style_d):
     )
 
 
+@pytest.mark.slow
 def test_fused_style_render_pipeline_coarse_parity():
     """Full fused stylized render (coarse stream) vs the XLA style chain
     with identical sampling keys."""
@@ -161,6 +162,7 @@ def test_fused_style_non_default_trunk():
                                np.asarray(out["sigma"]), atol=2e-1)
 
 
+@pytest.mark.slow
 def test_style_fine_budget_runs_and_full_budget_identity():
     """Early ray termination on the stylized path: full budget takes the
     exact path; a mid budget produces finite, sane outputs (the selection

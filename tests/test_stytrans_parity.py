@@ -56,6 +56,7 @@ def reference_nets():
 
 
 class TestFullStytransParity:
+    @pytest.mark.slow
     def test_losses_and_image_match(self, reference_nets):
         from tgtc.models.stytrans import StyTrans
         from tgtc.models.torch_compat import convert_torch_stytrans

@@ -46,6 +46,7 @@ class TestTrainStep:
         assert int(state.step) == 61
         assert np.isfinite(float(m["psnr_fine"]))
 
+    @pytest.mark.slow
     def test_k_step_scan_matches_sequential(self):
         """One K=4 dispatch must be bit-identical to 4 sequential steps —
         the key schedule folds state.step inside the body (the Phase-A

@@ -48,6 +48,7 @@ class TestLrSchedule:
 
 
 class TestTransformerTrain:
+    @pytest.mark.slow
     def test_only_transformer_and_embedding_update(self, net):
         model, params = net
         cfg = TransformerTrainConfig()
@@ -100,6 +101,7 @@ class TestTransformerTrain:
         a, b = float(m8["loss"]), float(mf["loss"])
         assert abs(a - b) / max(abs(b), 1e-9) < 1e-5, (a, b)
 
+    @pytest.mark.slow
     def test_loss_decreases_overfit(self, net):
         model, params = net
         cfg = TransformerTrainConfig()
@@ -116,6 +118,7 @@ class TestTransformerTrain:
 
 
 class TestTemporalTrain:
+    @pytest.mark.slow
     def test_step_runs_decoder_only(self, net):
         from tgtc.ops.rasterize import llff_projection_matrix
         from tgtc.train.transformer2d import init_transformer_train as init2
