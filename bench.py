@@ -70,6 +70,14 @@ BLOCK = 1 << 14  # rays per fused render call
 # at 20k AND 100k training steps on the realscale scene (BASELINE.md
 # round 4; budget 64 measures +2-4 dB there and is NOT the default)
 ERT_FINE_BUDGET = 80
+# shared-coarse-proposal variant stacked on ERT: the coarse sigma pass
+# (the largest stage at ERT-80) runs on one ray per COARSE_SHARE
+# scanline-adjacent pixels and its resampled/selected depth set is shared
+# within the group (render.fast coarse_share). Share 2 is the validated
+# point: holdout GT-PSNR delta -0.010 dB at 100k steps, same band as
+# ERT-80 alone; share 4 measures +0.09-0.11 dB there and is NOT the
+# default (BASELINE.md "Shared coarse proposal")
+COARSE_SHARE = 2
 
 
 def _flops_per_ray(nc=64, nf_tot=128, fine_budget=None):
@@ -142,6 +150,10 @@ def main():
     rend_ert = FusedNerfRenderer.from_params(
         params_c, params_f, settings, coarse_rgb=False,
         fine_budget=ERT_FINE_BUDGET)
+    # ERT + shared coarse proposal (opt-in --fine_budget + --coarse_share)
+    rend_ert_cs = FusedNerfRenderer.from_params(
+        params_c, params_f, settings, coarse_rgb=False,
+        fine_budget=ERT_FINE_BUDGET, coarse_share=COARSE_SHARE)
 
     rays_o = rng.uniform(-1.0, 1.0, (BLOCK, 3)).astype(np.float32)
     rays_d = rng.standard_normal((BLOCK, 3)).astype(np.float32)
@@ -178,6 +190,8 @@ def main():
     _mark("exact path measured")
     ert_rays_per_sec = _measure(rend_ert)
     _mark("ERT path measured")
+    ert_cs_rays_per_sec = _measure(rend_ert_cs)
+    _mark("ERT+coarse_share path measured")
 
     tflops = rays_per_sec * _flops_per_ray() / 1e12
     print(
@@ -199,6 +213,12 @@ def main():
                 "ert_rays_per_sec": round(ert_rays_per_sec, 1),
                 "ert_vs_baseline": round(
                     ert_rays_per_sec / ASSUMED_REF_RAYS_PER_SEC, 2),
+                # stacked variant: ERT + shared coarse proposal
+                # (--coarse_share; quality sweep in BASELINE.md)
+                "ert_coarse_share": COARSE_SHARE,
+                "ert_cs_rays_per_sec": round(ert_cs_rays_per_sec, 1),
+                "ert_cs_vs_baseline": round(
+                    ert_cs_rays_per_sec / ASSUMED_REF_RAYS_PER_SEC, 2),
             }
         )
     )

@@ -45,6 +45,11 @@ def main():
                     help="early ray termination: fine style chain on only "
                          "the top-N merged samples per ray (0 = off; see "
                          "ops.sampling.select_sample_budget)")
+    ap.add_argument("--coarse_share", type=int, default=1,
+                    help="shared coarse proposal: run the sigma-only "
+                         "coarse pass on every N-th ray and share its "
+                         "depth set across N scanline-adjacent pixels "
+                         "(render.fast_style coarse_share; 1 = off)")
     args = ap.parse_args()
     key = jax.random.PRNGKey(0)
     nerf_cfg = NerfConfig()
@@ -58,6 +63,7 @@ def main():
         RenderSettings(n_samples=64, n_samples_fine=64, sigma_noise_std=0.0),
         coarse_rgb=args.coarse_rgb,
         fine_budget=args.fine_budget or None,
+        coarse_share=args.coarse_share,
     )
 
     ro = jax.random.uniform(key, (BLOCK, 3), minval=-1, maxval=1)
@@ -95,6 +101,7 @@ def main():
         "coarse_rgb": args.coarse_rgb,
         "frames_per_dispatch": fpd,
         "fine_budget": args.fine_budget,
+        "coarse_share": args.coarse_share,
     }))
 
 
