@@ -206,9 +206,15 @@ def ert_quality_sweep(pipe, budgets):
         return float(-10.0 * np.log10(np.mean((a - b) ** 2) + 1e-12))
 
     def parse(spec):
-        s = str(spec)
+        s = str(spec).strip().lower()
         budget, _, share = s.partition("x")
-        return int(budget) or None, int(share or 1)
+        try:
+            return int(budget) or None, int(share or 1)
+        except ValueError:
+            raise SystemExit(
+                f"bad --ert_sweep spec {spec!r}: expected BUDGET or "
+                f"BUDGETxSHARE with integer fields, e.g. '80' or '80x2'"
+            )
 
     full = render(None)
     psnr_full = psnr(gt, full)

@@ -137,10 +137,26 @@ class Config:
     #                              ops.sampling.select_sample_budget).
     #                              Phase-B geometry dumps always render
     #                              full — depth maps feed later training.
+    train_fine_budget: str = ""  # step-scheduled ERT at TRAINING time
+    #                              (Phases A and E): comma-separated
+    #                              "BUDGET@START" segments, e.g.
+    #                              "96@60000,80@90000" = exact until 60k,
+    #                              fine budget 96 until 90k, then 80. A
+    #                              bare "80" applies from step 0. "" =
+    #                              off, bit-parity with the reference's
+    #                              evaluate-all training
+    #                              (train/nerf_trainer.py parse_budget_
+    #                              schedule). Phase E uses the LAST
+    #                              segment's budget (its density is
+    #                              frozen-converged). Budgets must
+    #                              tighten over the schedule.
     coarse_share: int = 1        # shared coarse proposal for plain renders:
-    #                              run the coarse σ pass on every N-th ray
-    #                              and share its importance weights across
-    #                              each group of N scanline-adjacent pixels
+    #                              run the whole proposal chain (coarse σ →
+    #                              weights → resample → select) once per
+    #                              group of N scanline-adjacent pixels and
+    #                              share the resampled/selected depth set
+    #                              across the group; the fine MLP still
+    #                              evaluates every ray's own 3-D points
     #                              (render.fast coarse_share). 1 = off,
     #                              exact reference parity.
     mesh_devices: int = 0        # 0 = all local devices

@@ -223,6 +223,12 @@ def select_sample_budget(
     oh_bin = (idx_bin[..., None] == jnp.arange(nc)).astype(ts_all.dtype)
     sigma_est = jnp.einsum("rmb,rb->rm", oh_bin, sigma_coarse)  # [R, M]
     score = sigma_weights(sigma_est, ts_all)                    # [R, M]
+    # The selector is a pure heuristic: at TRAINING time (round-5
+    # --train_fine_budget) gradients must flow only through the kept
+    # samples' MLP evaluations, never through the scoring itself. top_k
+    # indices are non-differentiable anyway; the stop_gradient makes the
+    # invariant explicit and free.
+    score = jax.lax.stop_gradient(score)
 
     _, keep = jax.lax.top_k(score, budget)
     keep = jnp.sort(keep, axis=-1)  # restore depth order

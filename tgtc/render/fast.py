@@ -76,7 +76,10 @@ def make_fused_render_fn(
     CONSECUTIVE rays; the fine MLP still evaluates every ray's own 3-D
     points. Rays are image pixels in scanline order at render time, so a
     group is horizontally adjacent pixels with near-identical depth
-    distributions (for even image widths a group never straddles a row).
+    distributions (a group never straddles a row iff the image width is
+    divisible by ``coarse_share`` — 1008 satisfies it for 2 and 4; a
+    straddling group merely weakens the neighbor-similarity assumption
+    for that group, it does not error).
     The coarse pass exists only to steer fine sampling, exactly like a
     low-res proposal network. 1 (default) = exact parity; >1 requires
     ``coarse_rgb=False`` (a per-ray coarse image is no longer defined).

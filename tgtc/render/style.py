@@ -50,10 +50,18 @@ def style_forward(
     noise_std: float = 0.0,
     noise_key: Optional[jax.Array] = None,
     freeze_nerf: bool = True,
+    deltas: Optional[jnp.ndarray] = None,
+    with_sigma: bool = False,
 ) -> Tuple[CompositeOutput, jnp.ndarray]:
     """One stylized stream (coarse OR fine, given its depths ``ts``).
 
     Returns (composite, weights) — weights feed the fine resample.
+
+    ``deltas``: explicit interval lengths for a sample SUBSET (the
+    training-time ERT path, ops.sampling.select_sample_budget); None =
+    consecutive differences of ``ts``.
+    ``with_sigma``: additionally return the raw (pre-noise) trunk density —
+    the ERT selector's score input — as a third element.
     """
     r, s = ts.shape
     pts = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
@@ -79,5 +87,8 @@ def style_forward(
     concated = jnp.concatenate([base_remap, concat_features], axis=-1)
     rgb = style_model.apply(style_params, pts_embed, concated, lat_scalar)
 
-    comp = alpha_composite(rgb, sigma, ts, noise_std=noise_std, key=noise_key)
+    comp = alpha_composite(rgb, sigma, ts, noise_std=noise_std, key=noise_key,
+                           deltas=deltas)
+    if with_sigma:
+        return comp, comp.weights, sigma
     return comp, comp.weights

@@ -17,7 +17,11 @@ import jax.numpy as jnp
 
 from tgtc.models.nerf import NerfMLP, nerf_apply, nerf_apply_t
 from tgtc.ops.composite import CompositeOutput, alpha_composite
-from tgtc.ops.sampling import merge_and_resample_fine, sample_along_rays_uniform
+from tgtc.ops.sampling import (
+    merge_and_resample_fine,
+    sample_along_rays_uniform,
+    select_sample_budget,
+)
 
 
 def _trunk_apply(model: NerfMLP, params, pts, dirs, feature_major: bool):
@@ -53,6 +57,12 @@ class RenderSettings:
     feature_major: bool = False  # evaluate the trunk in [features, points]
     #   layout (tgtc.models.nerf.nerf_apply_t) — faster on TPU, identical
     #   numerics for relu trunks; differentiable, so valid for training too
+    fine_budget: Optional[int] = None  # early ray termination: evaluate the
+    #   fine MLP on only the `fine_budget` highest-estimated-weight merged
+    #   samples per ray (ops.sampling.select_sample_budget). None = exact
+    #   parity with the reference's evaluate-all path
+    #   (/root/reference/utils.py:354-386). Valid under grad: the selector
+    #   is stop_gradient'd, so gradients flow only through kept samples.
 
 
 def render_rays(
@@ -100,6 +110,18 @@ def render_rays(
     pts_f, ts_f = merge_and_resample_fine(
         rays_o, rays_d, ts, comp_c.weights, settings.n_samples_fine
     )
+    deltas_f = None
+    if settings.fine_budget is not None:
+        # ERT at training time: score each merged sample from the RAW
+        # (pre-noise) coarse density, keep the top-`fine_budget` per ray in
+        # depth order, composite the subset with full-set interval lengths
+        # (== forcing dropped alphas to zero). grid= stays None: the coarse
+        # grid is perturbed when settings.perturb (the training case).
+        ts_f, deltas_f = select_sample_budget(
+            ts_f, ts, jax.lax.stop_gradient(out_c["sigma"]),
+            settings.fine_budget,
+        )
+        pts_f = rays_o[..., None, :] + rays_d[..., None, :] * ts_f[..., None]
     dirs_f = jnp.broadcast_to(rays_d[:, None, :], pts_f.shape)
     out_f = _trunk_apply(fine_model, fine_params, pts_f, dirs_f,
                          settings.feature_major)
@@ -110,6 +132,7 @@ def render_rays(
         noise_std=settings.sigma_noise_std,
         key=k_fine_noise,
         white_bkgd=settings.white_bkgd,
+        deltas=deltas_f,
     )
 
     return {

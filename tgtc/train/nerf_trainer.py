@@ -51,6 +51,20 @@ class NerfTrainConfig:
     #   feature-major 27.8 — the feature-major win is inference-only
     #   (fused kernel); under grad the layout transposes dominate, so
     #   False is the deliberate training default.
+    train_fine_budget: Optional[int] = None  # ERT at TRAINING time: evaluate
+    #   the fine MLP (fwd AND bwd) on only the top-`budget` merged samples
+    #   per ray, scored from the coarse density
+    #   (ops.sampling.select_sample_budget). None (default) = bit-parity
+    #   with the reference's evaluate-all training step
+    #   (/root/reference/train_tgtcs.py:228-251, utils.py:354-386).
+    #   Gradients flow only through kept samples (the selector is
+    #   stop_gradient'd). Meant to be STEP-SCHEDULED by the caller (exact
+    #   early, tighter as density converges — the pipeline parses
+    #   --train_fine_budget "96@60000,80@90000" and rebuilds the step per
+    #   segment): budget quality is a function of density convergence
+    #   (BASELINE.md round-4 sweep: budget 80 is -0.01 dB at 100k steps but
+    #   +1.5 dB at 3k). Renders are unaffected (render_settings passes it
+    #   only for perturb=True, the training call).
 
     def render_settings(self, perturb: bool) -> RenderSettings:
         return RenderSettings(
@@ -62,6 +76,7 @@ class NerfTrainConfig:
             white_bkgd=self.white_bkgd,
             perturb=perturb,
             feature_major=self.feature_major,
+            fine_budget=self.train_fine_budget if perturb else None,
         )
 
 
@@ -284,10 +299,21 @@ def make_fused_train_step(
     from tgtc.ops.sampling import (
         merge_and_resample_fine,
         sample_along_rays_uniform,
+        select_sample_budget,
     )
 
     tx = make_optimizer(train_cfg)
     s = train_cfg
+    budget = s.train_fine_budget
+    if budget is not None:
+        m = s.n_samples + s.n_samples_fine
+        if not 0 < budget <= m:
+            raise ValueError(f"train_fine_budget {budget} not in (0, {m}]")
+        if (s.batch_size * budget) % tile:
+            raise ValueError(
+                f"train_fine_budget {budget}: batch_size*budget "
+                f"({s.batch_size * budget}) must be a multiple of tile {tile}"
+            )
     nfc, nfd = nerf_cfg.embed_freq_coor, nerf_cfg.embed_freq_dir
     skip = nerf_cfg.skips[0] if nerf_cfg.skips else nerf_cfg.depth + 1
     apply_c = make_diff_apply(nerf_cfg.depth, skip, nfc, nfd,
@@ -296,15 +322,16 @@ def make_fused_train_step(
     def pack(p, depth, width):
         return pack_nerf_params_traceable(p, depth, nfc, nfd, skip, width)
 
-    def run_pass(apply, packed, rays_o, rays_d, ts, k_noise):
+    def run_pass(apply, packed, rays_o, rays_d, ts, k_noise, deltas=None):
         r, n = ts.shape
         pt, dt = _points_t(rays_o, rays_d, ts)
         rgb_t, sigma_t = apply(*packed, pt, dt)
         rgb = rgb_t.reshape(3, r, n).transpose(1, 2, 0)
         sigma = sigma_t.reshape(r, n)
-        return alpha_composite(rgb, sigma, ts,
+        comp = alpha_composite(rgb, sigma, ts,
                                noise_std=s.sigma_noise_std, key=k_noise,
-                               white_bkgd=s.white_bkgd)
+                               white_bkgd=s.white_bkgd, deltas=deltas)
+        return comp, sigma
 
     def step_fn(state: NerfTrainState, rays_o, rays_d, rgb_gt, key):
         k_idx, k_render = jax.random.split(jax.random.fold_in(key, state.step))
@@ -323,11 +350,20 @@ def make_fused_train_step(
             _, ts = sample_along_rays_uniform(
                 b_o, b_d, s.n_samples, near=s.near, far=s.far, key=k_samp,
             )
-            comp_c = run_pass(apply_c, pc, b_o, b_d, ts, k_n1)
+            comp_c, sigma_c = run_pass(apply_c, pc, b_o, b_d, ts, k_n1)
             _, ts_f = merge_and_resample_fine(
                 b_o, b_d, ts, comp_c.weights, s.n_samples_fine
             )
-            comp_f = run_pass(apply_c, pf, b_o, b_d, ts_f, k_n2)
+            deltas_f = None
+            if budget is not None:
+                # training-time ERT: score merged samples from the raw
+                # (pre-noise) coarse sigma; grid= stays None — the coarse
+                # grid is perturbed here (k_samp)
+                ts_f, deltas_f = select_sample_budget(
+                    ts_f, ts, jax.lax.stop_gradient(sigma_c), budget
+                )
+            comp_f, _ = run_pass(apply_c, pf, b_o, b_d, ts_f, k_n2,
+                                 deltas=deltas_f)
             loss_c = img2mse(comp_c.rgb, b_rgb)
             loss_f = img2mse(comp_f.rgb, b_rgb)
             return loss_c + loss_f, (loss_c, loss_f)
@@ -351,6 +387,82 @@ def make_fused_train_step(
         return new_state, metrics
 
     return _maybe_scan_steps(step_fn, k_steps)
+
+
+def parse_budget_schedule(spec: str) -> "list[Tuple[int, Optional[int]]]":
+    """Parse a ``--train_fine_budget`` schedule spec into
+    ``[(start_step, budget_or_None), ...]`` sorted by start step.
+
+    Grammar: comma-separated ``BUDGET@START`` segments; a bare ``BUDGET``
+    means "from step 0". Budget 0 means exact (no culling). Steps before
+    the first segment run exact. Examples::
+
+        ""                  -> [(0, None)]                    (default, bit-parity)
+        "80"                -> [(0, 80)]
+        "96@60000,80@90000" -> [(0, None), (60000, 96), (90000, 80)]
+
+    The budget must TIGHTEN over the schedule (exact early, smaller later):
+    quality of a given budget improves with density convergence
+    (BASELINE.md round-4 sweep), so a loosening schedule is almost
+    certainly a typo and is rejected.
+    """
+    segments: "list[Tuple[int, Optional[int]]]" = [(0, None)]
+    s = (spec or "").strip()
+    if not s:
+        return segments
+    for part in s.split(","):
+        part = part.strip().lower()
+        if not part:
+            continue
+        budget_s, _, start_s = part.partition("@")
+        try:
+            budget = int(budget_s)
+            start = int(start_s) if start_s else 0
+        except ValueError:
+            raise ValueError(
+                f"bad --train_fine_budget segment {part!r}: expected "
+                "BUDGET or BUDGET@START with integer fields, e.g. "
+                "'80' or '96@60000,80@90000'"
+            ) from None
+        if budget < 0 or start < 0:
+            raise ValueError(
+                f"bad --train_fine_budget segment {part!r}: negative values"
+            )
+        segments.append((start, budget or None))
+    segments.sort(key=lambda p: p[0])
+    if segments[1][0] == 0:
+        segments = segments[1:]  # explicit step-0 segment replaces the default
+    budgets = [b for _, b in segments]
+    for earlier, later in zip(budgets, budgets[1:]):
+        if earlier is not None and (later is None or later > earlier):
+            raise ValueError(
+                f"--train_fine_budget schedule must tighten (exact early, "
+                f"smaller budgets later); got {spec!r}"
+            )
+    starts = [st for st, _ in segments]
+    if len(set(starts)) != len(starts):
+        raise ValueError(
+            f"--train_fine_budget schedule has duplicate start steps: {spec!r}"
+        )
+    return segments
+
+
+def budget_at_step(
+    segments: "list[Tuple[int, Optional[int]]]", step: int
+) -> Tuple[Optional[int], Optional[int]]:
+    """Return ``(budget, next_boundary)`` for ``step`` under a parsed
+    schedule. ``next_boundary`` is the first segment start strictly after
+    ``step`` (None when in the last segment) — the training loop uses it to
+    keep a K-step scan chunk from crossing a budget switch."""
+    budget = segments[0][1]
+    next_boundary = None
+    for start, b in segments:
+        if start <= step:
+            budget = b
+        else:
+            next_boundary = start
+            break
+    return budget, next_boundary
 
 
 def fused_train_supported(nerf_cfg: NerfConfig, fine_cfg: Optional[NerfConfig],

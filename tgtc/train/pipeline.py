@@ -224,7 +224,8 @@ class Pipeline:
         cfg = self.cfg
         return (cfg.use_pallas and jax.default_backend() != "cpu"
                 and cfg.act_type == "relu" and cfg.use_viewdir
-                and tuple(self.nerf_cfg.skips) == (4,))
+                and tuple(self.nerf_cfg.skips) == (4,)
+                and tuple(self.nerf_cfg_fine.skips) == (4,))
 
     def _fused_style_ok(self) -> bool:
         """FusedStyleRenderer eligibility: same trunk-layout constraint as
@@ -233,7 +234,8 @@ class Pipeline:
         cfg = self.cfg
         return (cfg.use_pallas and jax.default_backend() != "cpu"
                 and cfg.act_type == "relu"
-                and tuple(self.nerf_cfg.skips) == (4,))
+                and tuple(self.nerf_cfg.skips) == (4,)
+                and tuple(self.nerf_cfg_fine.skips) == (4,))
 
     def _nerf_setup(self):
         from tgtc.train.nerf_trainer import NerfTrainConfig, init_state
@@ -281,7 +283,8 @@ class Pipeline:
         rays_o, rays_d, rgb_gt = self._feed((rays_o, rays_d, rgb_gt))
 
         from tgtc.train.nerf_trainer import (
-            fused_train_supported, make_fused_train_step,
+            budget_at_step, fused_train_supported, make_fused_train_step,
+            parse_budget_schedule,
         )
 
         # K-step lax.scan dispatch (same pattern as Phase E): the per-step
@@ -291,20 +294,37 @@ class Pipeline:
         # tests/test_train_nerf.py::test_k_step_scan_under_mesh_*). K=1
         # only when profiling (the trace wants per-step boundaries).
         k = 1 if cfg.profile_dir else 50
-        if (cfg.use_pallas and jax.default_backend() != "cpu"
-                and fused_train_supported(self.nerf_cfg, self.nerf_cfg_fine,
-                                          train_cfg)):
+        use_fused = (cfg.use_pallas and jax.default_backend() != "cpu"
+                     and fused_train_supported(self.nerf_cfg,
+                                               self.nerf_cfg_fine, train_cfg))
+        if use_fused:
             # custom-VJP fused trunk: measured 70.7 vs 43.5 steps/s on v5e
             # (perf/bench_train.py measure_fused)
             print("[train] fused Pallas trunk (fwd+bwd kernels)", flush=True)
-            builder = lambda ks: make_fused_train_step(
-                self.nerf_cfg, train_cfg, mesh=self.mesh,
-                fine_cfg=self.nerf_cfg_fine, k_steps=ks)
-        else:
-            builder = lambda ks: make_train_step(
-                cm, fm, train_cfg, mesh=self.mesh, k_steps=ks)
-        step_fn = builder(1)
-        chunk_fn = step_fn if k == 1 else builder(k)
+
+        def builder(ks, budget):
+            tc = dataclasses.replace(train_cfg, train_fine_budget=budget)
+            if use_fused:
+                return make_fused_train_step(
+                    self.nerf_cfg, tc, mesh=self.mesh,
+                    fine_cfg=self.nerf_cfg_fine, k_steps=ks)
+            return make_train_step(cm, fm, tc, mesh=self.mesh, k_steps=ks)
+
+        # step-scheduled training-time ERT (--train_fine_budget): one
+        # compiled step per (budget, K) pair, switched on the host at
+        # segment boundaries — budgets are static shapes under jit. The
+        # default "" schedule is the single (None) segment = bit-parity.
+        segments = parse_budget_schedule(cfg.train_fine_budget)
+        if len(segments) > 1 or segments[0][1] is not None:
+            print(f"[train] fine-budget schedule: {segments}", flush=True)
+        fns: dict = {}
+
+        def fns_for(budget):
+            if budget not in fns:
+                sf = builder(1, budget)
+                fns[budget] = (sf, sf if k == 1 else builder(k, budget))
+            return fns[budget]
+
         key = jax.random.PRNGKey(cfg.seed + 1)
         profiling = False
         if cfg.profile_dir:
@@ -321,7 +341,14 @@ class Pipeline:
         step = int(state.step)
         last_log = last_ckpt = last_sync = step
         while step < cfg.origin_step:
-            if k > 1 and cfg.origin_step - step >= k:
+            budget, boundary = budget_at_step(segments, step)
+            step_fn, chunk_fn = fns_for(budget)
+            # a K-chunk must not cross a budget-segment boundary (the
+            # budget is baked into the compiled step) — single-step up to
+            # the switch, exact boundary semantics
+            limit = cfg.origin_step if boundary is None else min(
+                cfg.origin_step, boundary)
+            if k > 1 and limit - step >= k:
                 state, ms = chunk_fn(state, rays_o, rays_d, rgb_gt, key)
                 metrics = jax.tree.map(lambda x: x[-1], ms)
                 step += k
@@ -692,6 +719,7 @@ class Pipeline:
     def train_style3d(self) -> None:
         from tgtc.data.style_dataset import load_style_scene
         from tgtc.models.style_field import StyleFieldConfig
+        from tgtc.train.nerf_trainer import parse_budget_schedule
         from tgtc.train.style3d import (
             StyleTrainConfig, init_style_state, make_style_train_step,
         )
@@ -728,7 +756,14 @@ class Pipeline:
                 cfg.coh_until_step if cfg.coh_until_step >= 0
                 else cfg.origin_step + 1999
             ),
+            # training-time ERT for the stylized fine pass: Phase E always
+            # starts from a converged (frozen) density, so it uses the
+            # LAST segment of the --train_fine_budget schedule directly
+            fine_budget=parse_budget_schedule(cfg.train_fine_budget)[-1][1],
         )
+        if scfg.fine_budget is not None:
+            print(f"[style] fine budget {scfg.fine_budget} "
+                  "(training-time ERT, frozen density)", flush=True)
         concat_model, style_model, sstate = init_style_state(
             jax.random.PRNGKey(cfg.seed + 8), field, scfg,
             data.style_num, data.frame_num, latents_init=lat_init,

@@ -48,7 +48,11 @@ from tgtc.models.style_field import (
     make_style_mlps,
 )
 from tgtc.ops.losses import cosine_similarity, img2mse, l2_norm
-from tgtc.ops.sampling import merge_and_resample_fine, sample_along_rays_uniform
+from tgtc.ops.sampling import (
+    merge_and_resample_fine,
+    sample_along_rays_uniform,
+    select_sample_budget,
+)
 from tgtc.render.style import style_forward
 
 
@@ -71,6 +75,13 @@ class StyleTrainConfig:
     origin_step: int = 120001
     coh_until_step: int = 122000    # reference hardcoded gate
     dataset_type: str = "llff"
+    fine_budget: Optional[int] = None  # training-time ERT for the fine
+    #   stylized pass: evaluate trunk+style chain on only the top-`budget`
+    #   merged samples per ray, scored from the FROZEN coarse density
+    #   (ops.sampling.select_sample_budget). None = exact reference parity.
+    #   Phase E always starts from a converged density (the NeRF is frozen
+    #   after origin_step), so no schedule is needed here — the pipeline
+    #   passes the LAST segment of --train_fine_budget.
     # Measured dynamics note (BASELINE.md): with coherence active from the
     # first step (the reference's schedule), Adam's direction is dominated
     # by the scale-invariant cosine term; on high-chroma synthetic scenes
@@ -197,7 +208,7 @@ def make_style_train_step(
             batch["rays_o"], batch["rays_d"], cfg.n_samples,
             near=cfg.near, far=cfg.far, key=k_samp,
         )
-        comp_c, weights = style_forward(
+        comp_c, weights, sigma_c = style_forward(
             nerf_coarse, nerf_params_coarse, concat_model, params["concat"],
             style_model, params["style"], lat,
             batch["rays_o"], batch["rays_d"], ts,
@@ -205,10 +216,20 @@ def make_style_train_step(
             sigma_scale=cfg.sigma_scale,
             llff_tile=cfg.llff_tile and cfg.dataset_type == "llff",
             noise_std=cfg.sigma_noise_std, noise_key=k_n1,
+            with_sigma=True,
         )
         _, ts_fine = merge_and_resample_fine(
             batch["rays_o"], batch["rays_d"], ts, weights, cfg.n_samples_fine
         )
+        deltas_fine = None
+        if cfg.fine_budget is not None:
+            # training-time ERT on the stylized fine pass: the density is
+            # FROZEN (style grads never touch it), so the selector's score
+            # is exactly the converged-density estimate the render-time ERT
+            # was validated on. grid=None: the coarse grid is perturbed.
+            ts_fine, deltas_fine = select_sample_budget(
+                ts_fine, ts, sigma_c, cfg.fine_budget
+            )
         comp_f, _ = style_forward(
             nerf_fine, nerf_params_fine, concat_model, params["concat"],
             style_model, params["style"], lat,
@@ -217,6 +238,7 @@ def make_style_train_step(
             sigma_scale=cfg.sigma_scale,
             llff_tile=cfg.llff_tile and cfg.dataset_type == "llff",
             noise_std=cfg.sigma_noise_std, noise_key=k_n2,
+            deltas=deltas_fine,
         )
         return comp_c.rgb, comp_f.rgb
 
