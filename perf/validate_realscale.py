@@ -258,6 +258,11 @@ def main():
                     help="opt-in ERT sample budget for the fused renders "
                          "(0 = exact all-samples parity); 80 is the "
                          "quality-validated production point")
+    ap.add_argument("--train_fine_budget", default="",
+                    help="step-scheduled TRAINING-time ERT for Phase A/E "
+                         "(tgtc.train.nerf_trainer.parse_budget_schedule "
+                         "grammar, e.g. '96@20000,80@40000'); '' = exact "
+                         "reference parity")
     ap.add_argument("--ert_sweep", default="",
                     help="comma-separated fine_budget values, each "
                          "optionally 'BxS' with coarse_share=S (e.g. "
@@ -299,6 +304,7 @@ def main():
         loss_coh_lambda=1.0 if args.scene_class == "smooth" else 0.02,
         use_pallas=True,
         fine_budget=args.fine_budget,
+        train_fine_budget=args.train_fine_budget,
     )
     pipe = Pipeline(cfg)
     pipe.vae_iters = 200
@@ -309,6 +315,7 @@ def main():
     result = {
         "metric": "realscale_phaseA",
         "scene_class": args.scene_class,
+        "train_fine_budget": args.train_fine_budget,
         "resolution": f"{args.height}x{args.width}",
         "steps": args.steps,
         "train_seconds": round(dt, 1),

@@ -104,6 +104,44 @@ def test_validation_errors():
         make_fused_render_fn(SETTINGS, coarse_share=8, **KW)(*pc, *pf, ro, rd)
 
 
+class TestShardedCoarseShare:
+    """coarse_share under shard_map (the headline bench variant ert_cs,
+    bench.py): shard boundaries must never land mid-group."""
+
+    @pytest.mark.parametrize("fine_budget", [None, 6])
+    def test_sharded_equals_single_device(self, cpu_mesh8, fine_budget):
+        """With each shard's local ray count a multiple of coarse_share,
+        proposal groups align with shard boundaries and the 8-way sharded
+        render equals the single-device one exactly."""
+        from tgtc.render.fast import make_sharded_fused_render_fn
+
+        pc, pf = _packed(jax.random.PRNGKey(9))
+        ro, rd = _rays(jax.random.PRNGKey(10), 8 * 32)  # 32 rays/shard
+        kw = dict(KW, coarse_share=2, fine_budget=fine_budget)
+        single = make_fused_render_fn(SETTINGS, **kw)(*pc, *pf, ro, rd)
+        sharded = make_sharded_fused_render_fn(SETTINGS, cpu_mesh8, **kw)(
+            *pc, *pf, ro, rd)
+        for k in single:
+            np.testing.assert_allclose(
+                np.asarray(single[k]), np.asarray(sharded[k]),
+                atol=1e-6, err_msg=k)
+
+    def test_shard_boundary_mid_group_errors(self, cpu_mesh8):
+        """A share that does not divide the LOCAL shard size would put a
+        proposal group across two shards (silently different proposals).
+        The render refuses at trace time instead. NB with the power-of-two
+        tiles the production shares (2, 4) can never straddle — local
+        sizes are tile multiples — so only a pathological share hits this."""
+        from tgtc.render.fast import make_sharded_fused_render_fn
+
+        pc, pf = _packed(jax.random.PRNGKey(11))
+        ro, rd = _rays(jax.random.PRNGKey(12), 8 * 32)
+        kw = dict(KW, coarse_share=3)  # 32 % 3 != 0
+        with pytest.raises(ValueError, match="not divisible"):
+            make_sharded_fused_render_fn(SETTINGS, cpu_mesh8, **kw)(
+                *pc, *pf, ro, rd)
+
+
 def _style_renderer(coarse_share, fine_budget=None):
     from tgtc.models.nerf import NerfConfig, make_nerf
     from tgtc.models.style_field import (
