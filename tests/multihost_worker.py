@@ -18,11 +18,16 @@ import sys
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+if __name__ == "__main__":
+    # worker-process backend setup; the test process imports this module
+    # for the shared workload functions and must keep its own (8-device)
+    # backend config
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if __name__ == "__main__":
+    jax.config.update("jax_platforms", "cpu")
 
 from tgtc.parallel.distributed import (  # noqa: E402
     is_main_process,
@@ -64,6 +69,92 @@ def pipeline_main(scene_dir: str, basedir: str, out_path: str) -> None:
         pipe.close()
 
 
+def style_workload(mesh):
+    """Phase-E style step over ``mesh`` — shared by the 2-process worker
+    and the in-process single-process reference (test_multihost.py), so
+    both sides run literally the same code on 1×8 vs 2×4 topologies."""
+    import jax.numpy as jnp
+
+    from tgtc.data.style_dataset import synthetic_style_scene
+    from tgtc.models.nerf import NerfConfig, make_nerf
+    from tgtc.models.style_field import StyleFieldConfig
+    from tgtc.train.style3d import (
+        StyleTrainConfig, init_style_state, make_style_train_step,
+    )
+
+    key = jax.random.PRNGKey(0)
+    nerf_cfg = NerfConfig(depth=2, width=32, embed_freq_coor=2,
+                          embed_freq_dir=1, compute_dtype=jnp.float32)
+    ncm, npc = make_nerf(nerf_cfg, key)
+    nfm, npf = make_nerf(nerf_cfg, jax.random.fold_in(key, 1))
+    data = synthetic_style_scene(key, s=2, f=3, h=8, w=8)
+    cfg = StyleTrainConfig(batch_size=16, n_samples=4, n_samples_fine=4,
+                           sigma_noise_std=0.0, origin_step=0,
+                           llff_tile=False, dataset_type="synthetic")
+    field = StyleFieldConfig(style_d=4, width=32, latent_dim=8,
+                             embed_dim=nerf_cfg.input_ch)
+    cm, sm, state = init_style_state(key, field, cfg, 2, 3)
+    state, data, npc, npf = replicate_to_mesh(mesh, (state, data, npc, npf))
+    step = make_style_train_step(ncm, nfm, npc, npf, cm, sm, cfg, mesh=mesh)
+    k = jax.random.PRNGKey(7)
+    for _ in range(6):
+        state, m = step(state, data, k)
+    loss = float(m["loss"])
+    fp = float(sum(jnp.sum(x) for x in jax.tree.leaves(state.params["style"])))
+    return loss, fp
+
+
+def c1_workload(mesh):
+    """C1 StyTrans step over ``mesh`` — the reference's one real multi-GPU
+    workload (DataParallel, /root/reference/trans_train.py:125-126), here
+    batch-sharded over the global mesh."""
+    import jax.numpy as jnp
+
+    from tgtc.models.stytrans import make_stytrans
+    from tgtc.models.transformer import TransformerConfig
+    from tgtc.train.transformer2d import (
+        TransformerTrainConfig,
+        init_transformer_train,
+        make_transformer_train_step,
+    )
+
+    tiny = TransformerConfig(d_model=32, nhead=2, num_encoder_layers=1,
+                             num_decoder_layers=1, dim_feedforward=32,
+                             dropout=0.0)
+    model, params = make_stytrans(jax.random.PRNGKey(0), tiny, image_size=32)
+    tcfg = TransformerTrainConfig(batch_size=8, patch=32)
+    state = init_transformer_train(params, tcfg)
+    content = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    style = jax.random.uniform(jax.random.PRNGKey(2), (8, 32, 32, 3))
+    state, content, style = replicate_to_mesh(mesh, (state, content, style))
+    step = make_transformer_train_step(model, tcfg, mesh=mesh)
+    k = jax.random.PRNGKey(3)
+    for _ in range(3):
+        state, m = step(state, content, style, k)
+    loss = float(m["loss"])
+    fp = float(sum(jnp.sum(x)
+                   for x in jax.tree.leaves(state.params["params"]
+                                            ["transformer"])))
+    return loss, fp
+
+
+def workload_main(which: str, out_path: str) -> None:
+    """2-process entry for the style/c1 step-equality proofs."""
+    assert maybe_initialize_distributed(), "env did not trigger init"
+    assert jax.process_count() == 2, jax.process_count()
+
+    from tgtc.parallel import get_mesh
+
+    mesh = get_mesh()
+    assert mesh.devices.size == 8
+    loss, fp = (style_workload if which == "style" else c1_workload)(mesh)
+    if is_main_process():
+        with open(out_path, "w") as f:
+            json.dump({"loss": loss, "param_fingerprint": fp}, f)
+    print(f"[worker p{jax.process_index()}] {which} loss={loss!r}",
+          flush=True)
+
+
 def main(out_path: str) -> None:
     assert maybe_initialize_distributed(), "env did not trigger init"
     assert jax.process_count() == 2, jax.process_count()
@@ -99,5 +190,7 @@ def main(out_path: str) -> None:
 if __name__ == "__main__":
     if sys.argv[1] == "pipeline":
         pipeline_main(sys.argv[2], sys.argv[3], sys.argv[4])
+    elif sys.argv[1] in ("style", "c1"):
+        workload_main(sys.argv[1], sys.argv[2])
     else:
         main(sys.argv[1])

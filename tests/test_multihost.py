@@ -79,6 +79,44 @@ def _single_process_result():
     return float(m["loss"]), fp
 
 
+def _spawn_two(worker_args, timeout=420):
+    """Launch tests/multihost_worker.py twice (2 processes × 4 virtual CPU
+    devices, localhost coordinator) and return both logs."""
+    port = _free_port()
+    worker = os.path.join(_REPO, "tests", "multihost_worker.py")
+    env_base = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = []
+    for pid in (0, 1):
+        env = dict(
+            env_base,
+            TGTC_COORDINATOR=f"127.0.0.1:{port}",
+            TGTC_NUM_PROCESSES="2",
+            TGTC_PROCESS_ID=str(pid),
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, worker] + [str(a) for a in worker_args],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        ))
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout)
+    assert all(p.returncode == 0 for p in procs), (
+        "\n=== p0 ===\n" + logs[0][-3000:]
+        + "\n=== p1 ===\n" + logs[1][-3000:]
+    )
+    return logs
+
+
 @pytest.mark.slow
 class TestTwoProcessTraining:
     def test_two_process_loss_equals_single_process(self, tmp_path):
@@ -177,3 +215,33 @@ class TestTwoProcessTraining:
         assert got["latest_step"] == 20  # origin_step checkpoint, from p0
         assert "Run phases B-D single-process" in logs[0]
         assert "Run phases B-D single-process" not in logs[1]
+
+    def test_two_process_style_step_equals_single_process(self, tmp_path):
+        """Phase-E (style distillation) step over the 2×4 global mesh vs
+        the in-process 1×8 run — same workload code on both sides
+        (tests/multihost_worker.py:style_workload, VERDICT r4 item 2)."""
+        from tests.multihost_worker import style_workload
+        from tgtc.parallel import get_mesh
+
+        out = tmp_path / "p0.json"
+        _spawn_two(["style", out])
+        got = json.loads(out.read_text())
+        want_loss, want_fp = style_workload(get_mesh())
+        np.testing.assert_allclose(got["loss"], want_loss, rtol=1e-5)
+        np.testing.assert_allclose(got["param_fingerprint"], want_fp,
+                                   rtol=1e-5)
+
+    def test_two_process_c1_step_equals_single_process(self, tmp_path):
+        """C1 StyTrans step — the reference's only real multi-GPU workload
+        (DataParallel, /root/reference/trans_train.py:125-126) — over the
+        2×4 global mesh vs the in-process 1×8 run."""
+        from tests.multihost_worker import c1_workload
+        from tgtc.parallel import get_mesh
+
+        out = tmp_path / "p0.json"
+        _spawn_two(["c1", out])
+        got = json.loads(out.read_text())
+        want_loss, want_fp = c1_workload(get_mesh())
+        np.testing.assert_allclose(got["loss"], want_loss, rtol=1e-5)
+        np.testing.assert_allclose(got["param_fingerprint"], want_fp,
+                                   rtol=1e-5)
