@@ -56,6 +56,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--styles", type=int, default=2)
+    ap.add_argument("--fine_budget", type=int, default=0,
+                    help="opt-in ERT (0 = exact)")
+    ap.add_argument("--coarse_share", type=int, default=1,
+                    help="shared coarse proposal group size (1 = exact)")
+    ap.add_argument("--depth_png", default="full",
+                    choices=["full", "half", "off"],
+                    help="per-frame depth artifact; 'half'/'off' shrink "
+                         "the per-frame D2H fetch (the wall bottleneck on "
+                         "a tunneled host)")
     args = ap.parse_args()
 
     t0 = time.perf_counter()
@@ -65,6 +74,8 @@ def main():
     rend = FusedStyleRenderer.from_params(
         pc, pf, cparams, sparams, lat, settings,
         coarse_rgb=False,  # production Phase-F path: sigma-only coarse
+        fine_budget=args.fine_budget or None,
+        coarse_share=args.coarse_share,
     )
     print(f"[phase_f] params ready at +{time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)
@@ -79,7 +90,8 @@ def main():
     try:
         # warmup: one frame (kernel + finalize compile)
         render_stylized_frames_fused(rend, ro[:1], rd[:1], [0], out,
-                                     jax.random.PRNGKey(9))
+                                     jax.random.PRNGKey(9),
+                                     depth_png=args.depth_png)
         print(f"[phase_f] warmup done at +{time.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)
         shutil.rmtree(out)
@@ -87,13 +99,19 @@ def main():
 
         t1 = time.perf_counter()
         n = render_stylized_frames_fused(
-            rend, ro, rd, range(args.styles), out, jax.random.PRNGKey(9)
+            rend, ro, rd, range(args.styles), out, jax.random.PRNGKey(9),
+            depth_png=args.depth_png,
         )
         dt = time.perf_counter() - t1
         written = len(os.listdir(out))
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
+    # per-frame device->host fetch budget: rgb8 always; depth uint8 at
+    # full/quarter/zero area — THE wall-clock lever on a ~2 MB/s tunnel
+    rgb_bytes = H * W * 3
+    depth_bytes = {"full": H * W, "half": (H // 2) * (W // 2), "off": 0}[
+        args.depth_png]
     print(json.dumps({
         "metric": "stylized_frames_per_min_e2e",
         "value": round(n / dt * 60.0, 2),
@@ -101,6 +119,12 @@ def main():
         "frames": n,
         "pngs_written": written,
         "seconds": round(dt, 2),
+        "fine_budget": args.fine_budget,
+        "coarse_share": args.coarse_share,
+        "depth_png": args.depth_png,
+        "d2h_bytes_per_frame": rgb_bytes + depth_bytes,
+        "d2h_rgb_bytes": rgb_bytes,
+        "d2h_depth_bytes": depth_bytes,
     }))
 
 

@@ -258,6 +258,13 @@ def main():
                     help="opt-in ERT sample budget for the fused renders "
                          "(0 = exact all-samples parity); 80 is the "
                          "quality-validated production point")
+    ap.add_argument("--coarse_share", type=int, default=1,
+                    help="shared coarse proposal for the fused renders "
+                         "(1 = exact)")
+    ap.add_argument("--depth_png", default="full",
+                    choices=["full", "half", "off"],
+                    help="per-frame depth artifact for --spiral/--full "
+                         "renders (see tgtc.config.Config.depth_png)")
     ap.add_argument("--train_fine_budget", default="",
                     help="step-scheduled TRAINING-time ERT for Phase A/E "
                          "(tgtc.train.nerf_trainer.parse_budget_schedule "
@@ -305,6 +312,8 @@ def main():
         use_pallas=True,
         fine_budget=args.fine_budget,
         train_fine_budget=args.train_fine_budget,
+        coarse_share=args.coarse_share,
+        depth_png=args.depth_png,
     )
     pipe = Pipeline(cfg)
     pipe.vae_iters = 200
@@ -358,6 +367,8 @@ def main():
         result.update({
             "spiral_dir": out_dir,
             "spiral_fine_budget": args.fine_budget,
+            "spiral_coarse_share": args.coarse_share,
+            "spiral_depth_png": args.depth_png,
             "spiral_pngs": len(pngs),
             "spiral_frames": frames,
             "spiral_seconds": round(dt, 1),

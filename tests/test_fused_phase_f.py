@@ -14,6 +14,71 @@ from tgtc.models.transformer import TransformerConfig
 from tgtc.train.pipeline import Pipeline
 
 
+class _StubRenderer:
+    """Minimal .render contract of FusedStyleRenderer — lets the frame
+    loop's IO semantics be tested without a kernel."""
+
+    def render(self, bo, bd, sid, fid, key):
+        t = jnp.linspace(0.0, 1.0, bo.shape[0])
+        rgb = jnp.stack([t, 1.0 - t, 0.5 * t], -1)
+        return {"rgb": rgb, "t_exp": t}
+
+
+class TestDepthPngModes:
+    """depth_png=full/half/off shapes the per-frame D2H + artifact set
+    (the spiral's wall bottleneck on a tunneled host is the fetch)."""
+
+    def _run(self, tmp_path, mode):
+        from tgtc.train.render_style import render_stylized_frames_fused
+
+        h, w = 6, 8
+        rng = np.random.default_rng(0)
+        ro = jnp.asarray(rng.uniform(-1, 1, (2, h, w, 3)).astype(np.float32))
+        rd = jnp.asarray(rng.normal(size=(2, h, w, 3)).astype(np.float32))
+        out = str(tmp_path / mode)
+        n = render_stylized_frames_fused(
+            _StubRenderer(), ro, rd, [0], out, jax.random.PRNGKey(0),
+            block=16, depth_png=mode,
+        )
+        from tgtc.utils import native
+
+        assert native.wait_writes() == 0
+        assert n == 2
+        return out, h, w
+
+    def test_full_writes_fullres_depth(self, tmp_path):
+        from PIL import Image
+
+        out, h, w = self._run(tmp_path, "full")
+        d = Image.open(os.path.join(out, "style_00000_fine_depth_00000.png"))
+        assert d.size == (w, h)
+
+    def test_half_writes_halfres_depth(self, tmp_path):
+        from PIL import Image
+
+        out, h, w = self._run(tmp_path, "half")
+        d = Image.open(os.path.join(out, "style_00000_fine_depth_00000.png"))
+        assert d.size == (w // 2, h // 2)
+        rgb = Image.open(os.path.join(out, "style_00000_fine_00000.png"))
+        assert rgb.size == (w, h)  # rgb artifact untouched
+
+    def test_off_writes_no_depth(self, tmp_path):
+        out, _, _ = self._run(tmp_path, "off")
+        files = os.listdir(out)
+        assert not any("depth" in f for f in files)
+        assert len([f for f in files if f.endswith(".png")]) == 2
+
+    def test_bad_mode_rejected(self, tmp_path):
+        from tgtc.train.render_style import render_stylized_frames_fused
+
+        with pytest.raises(ValueError, match="full/half/off"):
+            render_stylized_frames_fused(
+                _StubRenderer(), jnp.zeros((1, 4, 4, 3)),
+                jnp.ones((1, 4, 4, 3)), [0], str(tmp_path / "bad"),
+                jax.random.PRNGKey(0), depth_png="tiny",
+            )
+
+
 @pytest.mark.slow
 def test_fused_stylized_render_through_pipeline(
     private_llff_dir, tmp_path, monkeypatch

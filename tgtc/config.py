@@ -159,6 +159,17 @@ class Config:
     #                              evaluates every ray's own 3-D points
     #                              (render.fast coarse_share). 1 = off,
     #                              exact reference parity.
+    depth_png: str = "full"      # per-frame depth PNG for the render
+    #                              phases: "full" (reference parity: one
+    #                              normalized full-res depth image per
+    #                              frame), "half" (2x2-mean-pooled uint8 —
+    #                              ~1/4 the D2H bytes; this host's tunnel
+    #                              fetches ~2 MB/s, so depth IO is a
+    #                              material share of spiral wall time), or
+    #                              "off" (rgb only). Depth maps consumed by
+    #                              later phases (Phase-B geometry) are
+    #                              unaffected — this only shapes the
+    #                              human-facing render artifacts.
     mesh_devices: int = 0        # 0 = all local devices
     seed: int = 0
     debug_nans: bool = False     # jax_debug_nans — the analog of the

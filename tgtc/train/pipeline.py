@@ -928,6 +928,7 @@ class Pipeline:
                  "style": sstate.params["style"]},
                 latent_state, ro, rd, range(data.style_num), out_dir,
                 jax.random.PRNGKey(cfg.seed + 10),
+                depth_png=cfg.depth_png,
             )
         self._write_turntable(out_dir)
         return out_dir
@@ -977,6 +978,7 @@ class Pipeline:
             # style-chain compute
             coarse_rgb=False,
             fine_budget=cfg.fine_budget or None,
+            coarse_share=cfg.coarse_share,
         )
         from tgtc.train.render_style import render_stylized_frames_fused
         from tgtc.utils.video import StreamingGifWriter
@@ -987,7 +989,7 @@ class Pipeline:
             rendered = render_stylized_frames_fused(
                 rend, ro, rd, range(data.style_num), out_dir,
                 jax.random.PRNGKey(cfg.seed + 10), block=self._render_block,
-                frame_sink=writer.add,
+                frame_sink=writer.add, depth_png=cfg.depth_png,
             )
         except BaseException:
             writer.abort()

@@ -96,11 +96,15 @@ def render_stylized_views(
     block: int = 16384,
     skip_existing: bool = True,
     frame_id_offset: int = 0,
+    depth_png: str = "full",
 ) -> None:
     """Render every (style, view) pair and write pngs (async native encode
-    overlapped with the next view's render)."""
+    overlapped with the next view's render). ``depth_png``: full/half/off
+    (see render_stylized_frames_fused)."""
     from tgtc.utils import native
 
+    if depth_png not in ("full", "half", "off"):
+        raise ValueError(f"depth_png {depth_png!r} not in full/half/off")
     os.makedirs(out_dir, exist_ok=True)
     v, h, w, _ = rays_o.shape
     n = h * w
@@ -131,13 +135,19 @@ def render_stylized_views(
             out = jax.tree.map(lambda *xs: np.concatenate(
                 [np.asarray(x) for x in xs], 0), *outs)
             rgb = np.clip(out["rgb"].reshape(h, w, 3), 0, 1)
-            t = out["t_exp"].reshape(h, w)
-            t = (t - t.min()) / (t.max() - t.min() + 1e-7)
             native.write_png_async(path, rgb)
-            native.write_png_async(
-                os.path.join(out_dir, f"style_{s:05d}_fine_depth_{f:05d}.png"),
-                t[..., None],
-            )
+            if depth_png != "off":
+                t = out["t_exp"].reshape(h, w)
+                t = (t - t.min()) / (t.max() - t.min() + 1e-7)
+                if depth_png == "half":
+                    hh, ww = (h // 2) * 2, (w // 2) * 2
+                    t = t[:hh, :ww].reshape(
+                        hh // 2, 2, ww // 2, 2).mean((1, 3))
+                native.write_png_async(
+                    os.path.join(
+                        out_dir, f"style_{s:05d}_fine_depth_{f:05d}.png"),
+                    t[..., None],
+                )
     errs = native.wait_writes()
     if errs:
         raise IOError(f"{errs} async png writes failed in {out_dir}")
@@ -153,6 +163,7 @@ def render_stylized_frames_fused(
     block: int = 16384,
     skip_existing: bool = True,
     frame_sink=None,
+    depth_png: str = "full",
 ) -> int:
     """Phase F on the fused Pallas style kernel, streamed: frame assembly
     (block concat + clip + depth-normalize + uint8) happens ON DEVICE, the
@@ -166,10 +177,17 @@ def render_stylized_frames_fused(
     concurrently with the render instead of re-reading PNGs afterwards
     (tgtc.utils.video.StreamingGifWriter).
 
+    ``depth_png``: "full" (reference parity), "half" (2×2-mean-pooled
+    uint8 depth — the pooling runs ON DEVICE so the host fetch shrinks
+    4×; on this tunneled host depth is ~25% of per-frame D2H bytes), or
+    "off" (no depth image).
+
     Reference analog: ``render_style`` /root/reference/rendering.py:93-239
     (chunked torch loop, fully serialized per chunk)."""
     from tgtc.utils import native
 
+    if depth_png not in ("full", "half", "off"):
+        raise ValueError(f"depth_png {depth_png!r} not in full/half/off")
     os.makedirs(out_dir, exist_ok=True)
     v, h, w, _ = rays_o.shape
     n = h * w
@@ -180,8 +198,12 @@ def render_stylized_frames_fused(
         t = jnp.concatenate(ts, 0)[:n]
         rgb8 = to_uint8(rgb)
         t = (t - t.min()) / (t.max() - t.min() + 1e-7)
-        t8 = to_uint8(t)
-        return rgb8.reshape(h, w, 3), t8.reshape(h, w, 1)
+        t = t.reshape(h, w)
+        if depth_png == "half":
+            hh, ww = (h // 2) * 2, (w // 2) * 2
+            t = t[:hh, :ww].reshape(hh // 2, 2, ww // 2, 2).mean((1, 3))
+        t8 = to_uint8(t) if depth_png != "off" else jnp.zeros((), jnp.uint8)
+        return rgb8.reshape(h, w, 3), t8[..., None]
 
     def dispatch_frame(s, f):
         ro_f = jnp.reshape(rays_o[f], (-1, 3))
@@ -208,7 +230,8 @@ def render_stylized_frames_fused(
         path, dpath, rgb8, t8 = entry
         rgb_np = np.asarray(rgb8)
         native.write_png_async(path, rgb_np)
-        native.write_png_async(dpath, np.asarray(t8))
+        if depth_png != "off":
+            native.write_png_async(dpath, np.asarray(t8))
         if frame_sink is not None:
             frame_sink(rgb_np)
 
