@@ -78,6 +78,9 @@ ERT_FINE_BUDGET = 80
 # ERT-80 alone; share 4 measures +0.09-0.11 dB there and is NOT the
 # default (BASELINE.md "Shared coarse proposal")
 COARSE_SHARE = 2
+# density-grid proposal snapshot resolution (tgtc.render.grid): 192^3
+# float32 = 28 MB HBM; quality sweep in BASELINE.md round 5
+GRID_RES = 192
 
 
 def _flops_per_ray(nc=64, nf_tot=128, fine_budget=None):
@@ -157,9 +160,24 @@ def main():
 
     rays_o = rng.uniform(-1.0, 1.0, (BLOCK, 3)).astype(np.float32)
     rays_d = rng.standard_normal((BLOCK, 3)).astype(np.float32)
-    rays_d = jnp.asarray(
-        rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
-    )
+    rays_d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    # density-grid proposal variant (opt-in --sigma_grid): the coarse MLP
+    # is replaced by a trilinear gather from a voxel snapshot of the
+    # frozen fine density (tgtc.render.grid; quality in BASELINE.md).
+    # Throughput is value-independent, so random voxels stand in here —
+    # the GATHER cost is what's being measured.
+    from tgtc.render.grid import GridSpec, ray_bounds
+
+    glo, ghi = ray_bounds(rays_o, rays_d, settings.near, settings.far)
+    grid_vals = jnp.asarray(
+        rng.normal(size=(GRID_RES,) * 3).astype(np.float32))
+    rend_grid = FusedNerfRenderer.from_params(
+        params_c, params_f, settings, coarse_rgb=False,
+        fine_budget=ERT_FINE_BUDGET, coarse_share=COARSE_SHARE,
+        sigma_grid=(grid_vals, GridSpec(lo=glo, hi=ghi)))
+
+    rays_d = jnp.asarray(rays_d)
     rays_o = jnp.asarray(rays_o)
 
     # The tunneled TPU platform's block_until_ready is unreliable for
@@ -192,6 +210,8 @@ def main():
     _mark("ERT path measured")
     ert_cs_rays_per_sec = _measure(rend_ert_cs)
     _mark("ERT+coarse_share path measured")
+    grid_rays_per_sec = _measure(rend_grid)
+    _mark("grid+ERT+share path measured")
 
     tflops = rays_per_sec * _flops_per_ray() / 1e12
     print(
@@ -219,6 +239,12 @@ def main():
                 "ert_cs_rays_per_sec": round(ert_cs_rays_per_sec, 1),
                 "ert_cs_vs_baseline": round(
                     ert_cs_rays_per_sec / ASSUMED_REF_RAYS_PER_SEC, 2),
+                # stacked density-grid proposal: coarse MLP -> voxel
+                # gather (--sigma_grid), + ERT + share
+                "grid_resolution": GRID_RES,
+                "grid_ert_cs_rays_per_sec": round(grid_rays_per_sec, 1),
+                "grid_ert_cs_vs_baseline": round(
+                    grid_rays_per_sec / ASSUMED_REF_RAYS_PER_SEC, 2),
             }
         )
     )

@@ -165,7 +165,9 @@ def ert_quality_sweep(pipe, budgets):
 
     Each entry is either ``B`` (an int fine_budget, 0 = full) or a string
     ``"BxS"`` adding coarse_share=S (shared coarse proposal across S
-    scanline-adjacent pixels, render.fast) — e.g. ``"80x2"``."""
+    scanline-adjacent pixels, render.fast) — e.g. ``"80x2"``. A leading
+    ``g`` (e.g. ``"g80x2"``) swaps the coarse MLP for the density-grid
+    proposal (render.grid, resolution = --sigma_grid or 192)."""
     import jax
     import jax.numpy as jnp
 
@@ -185,7 +187,7 @@ def ert_quality_sweep(pipe, budgets):
     ro, rd = jnp.reshape(ro, (-1, 3)), jnp.reshape(rd, (-1, 3))
     gt = np.asarray(pipe.scene.images[v]).reshape(-1, 3)
 
-    def render(budget, share=1):
+    def render(budget, share=1, use_grid=False):
         rend = FusedNerfRenderer.from_params(
             state.params_coarse, state.params_fine,
             RenderSettings(n_samples=cfg.N_samples,
@@ -198,6 +200,7 @@ def ert_quality_sweep(pipe, budgets):
             width=cfg.netwidth, depth_fine=cfg.netdepth_fine,
             width_fine=cfg.netwidth_fine, coarse_rgb=False,
             fine_budget=budget, coarse_share=share,
+            sigma_grid=pipe._build_sigma_grid(state) if use_grid else None,
         )
         out = rend.render_image(ro, rd)
         return np.clip(np.asarray(out["rgb"]), 0.0, 1.0)
@@ -207,24 +210,28 @@ def ert_quality_sweep(pipe, budgets):
 
     def parse(spec):
         s = str(spec).strip().lower()
+        use_grid = s.startswith("g")
+        s = s[1:] if use_grid else s
         budget, _, share = s.partition("x")
         try:
-            return int(budget) or None, int(share or 1)
+            return int(budget) or None, int(share or 1), use_grid
         except ValueError:
             raise SystemExit(
                 f"bad --ert_sweep spec {spec!r}: expected BUDGET or "
-                f"BUDGETxSHARE with integer fields, e.g. '80' or '80x2'"
+                f"BUDGETxSHARE (optional leading 'g' for the density-grid "
+                f"proposal) with integer fields, e.g. '80', '80x2', 'g80x2'"
             )
 
     full = render(None)
     psnr_full = psnr(gt, full)
     rows = []
     for spec in budgets:
-        b, share = parse(spec)
-        img = render(b, share)
+        b, share, use_grid = parse(spec)
+        img = render(b, share, use_grid)
         rows.append({
             "fine_budget": b or 0,
             "coarse_share": share,
+            "sigma_grid": pipe.cfg.sigma_grid if use_grid else 0,
             "psnr_gt_db": round(psnr(gt, img), 3),
             "psnr_delta_vs_full_db": round(psnr_full - psnr(gt, img), 3),
             "psnr_agreement_db": round(psnr(full, img), 2),
@@ -261,6 +268,10 @@ def main():
     ap.add_argument("--coarse_share", type=int, default=1,
                     help="shared coarse proposal for the fused renders "
                          "(1 = exact)")
+    ap.add_argument("--sigma_grid", type=int, default=0,
+                    help="density-grid proposal resolution for the fused "
+                         "renders and 'g'-prefixed ert_sweep specs "
+                         "(0 = off; 192 is the bench point)")
     ap.add_argument("--depth_png", default="full",
                     choices=["full", "half", "off"],
                     help="per-frame depth artifact for --spiral/--full "
@@ -278,6 +289,10 @@ def main():
                          "GT-PSNR delta vs the full fused render")
     args = ap.parse_args()
 
+    if args.sigma_grid == 0 and any(
+            s.strip().lower().startswith("g")
+            for s in args.ert_sweep.split(",") if s.strip()):
+        args.sigma_grid = 192  # the bench.py point
     if args.scene_class != "smooth" and args.workdir == "/tmp/tgtc_realscale":
         args.workdir = f"/tmp/tgtc_realscale_{args.scene_class}"
     root = os.path.join(args.workdir, "scene")
@@ -314,6 +329,7 @@ def main():
         train_fine_budget=args.train_fine_budget,
         coarse_share=args.coarse_share,
         depth_png=args.depth_png,
+        sigma_grid=args.sigma_grid,
     )
     pipe = Pipeline(cfg)
     pipe.vae_iters = 200

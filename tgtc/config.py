@@ -159,6 +159,16 @@ class Config:
     #                              evaluates every ray's own 3-D points
     #                              (render.fast coarse_share). 1 = off,
     #                              exact reference parity.
+    sigma_grid: int = 0          # density-grid proposal for the fused
+    #                              renders (render.grid): snapshot the
+    #                              frozen fine density onto an N^3 voxel
+    #                              grid ONCE per render invocation and
+    #                              replace the per-frame coarse MLP with a
+    #                              trilinear gather. 0 = off (exact
+    #                              reference parity: the coarse net runs
+    #                              on every ray of every frame,
+    #                              /root/reference/rendering.py:27-36).
+    #                              Composes with fine_budget/coarse_share.
     depth_png: str = "full"      # per-frame depth PNG for the render
     #                              phases: "full" (reference parity: one
     #                              normalized full-res depth image per

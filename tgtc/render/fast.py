@@ -15,7 +15,7 @@ tiling (see tgtc.ops.pallas.nerf_mlp).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,9 +57,19 @@ def make_fused_render_fn(
     coarse_rgb: bool = True,
     fine_budget: int = None,
     coarse_share: int = 1,
+    grid_spec=None,
 ):
     """Build a jitted ``(w1c, w2c, encc, w1f, w2f, encf, rays_o, rays_d) ->
     outputs`` render function using the fused trunk kernel for both passes.
+
+    ``grid_spec`` (a ``tgtc.render.grid.GridSpec``): density-grid proposal —
+    the coarse MLP never runs; σ along each proposal ray is gathered from a
+    precomputed voxel snapshot of the fine density (render.grid), and the
+    render function takes one extra trailing operand ``grid_values``
+    ``[Gx, Gy, Gz]``. Requires ``coarse_rgb=False`` (there is no coarse
+    radiance). Composable with ``fine_budget`` and ``coarse_share``. The
+    reference re-evaluates its coarse MLP on all 64 uniform samples of
+    every ray of every frame (/root/reference/rendering.py:27-36).
 
     ``depth_fine``/``width_fine`` default to the coarse dims; the reference
     sizes the fine net separately (/root/reference/models.py:202-205).
@@ -99,13 +109,17 @@ def make_fused_render_fn(
         raise ValueError("coarse_share > 1 requires coarse_rgb=False: the "
                          "shared coarse pass is a sampling proposal, not a "
                          "per-ray coarse image")
+    if grid_spec is not None and coarse_rgb:
+        raise ValueError("grid_spec requires coarse_rgb=False: the density"
+                         "-grid proposal has no coarse radiance")
     kw = dict(depth=depth, num_freq_coor=num_freq_coor,
               num_freq_dir=num_freq_dir, width=width, tile=tile,
               interpret=interpret)
     kw_f = dict(kw, depth=depth_fine or depth, width=width_fine or width)
 
     @jax.jit
-    def render(w1c, w2c, encc, w1f, w2f, encf, rays_o, rays_d):
+    def render(w1c, w2c, encc, w1f, w2f, encf, rays_o, rays_d,
+               grid_values=None):
         r = rays_o.shape[0]
         if r % coarse_share:
             raise ValueError(
@@ -119,9 +133,17 @@ def make_fused_render_fn(
         pts_c, ts = sample_along_rays_uniform(
             ro_c, rd_c, nc, near=settings.near, far=settings.far
         )
-        del pts_c  # rebuilt transposed
-        pt, dt = _points_t(ro_c, rd_c, ts)
-        if coarse_rgb:
+        if grid_spec is not None:
+            # density-grid proposal: σ comes from the voxel snapshot of
+            # the (frozen) fine density — the coarse MLP is skipped
+            # entirely (24% of exact block time, BASELINE.md round-3
+            # bisect); the proposal machinery below is unchanged
+            from tgtc.render.grid import sample_sigma_grid
+
+            sigma_c = sample_sigma_grid(grid_values, grid_spec, pts_c)
+            weights_c = sigma_weights(sigma_c, ts)
+        elif coarse_rgb:
+            pt, dt = _points_t(ro_c, rd_c, ts)
             rgb_t, sigma_t = fused_nerf_apply_t(w1c, w2c, encc, pt, dt, **kw)
             rgb_c = rgb_t.reshape(3, rc, nc).transpose(1, 2, 0)
             sigma_c = sigma_t.reshape(rc, nc)
@@ -132,12 +154,14 @@ def make_fused_render_fn(
             # sigma-only coarse: importance weights need no radiance —
             # skip dirs encoding, base_remap, and the rgb branch.
             # Identical fine image (tests/test_pallas_kernel.py).
+            pt, _ = _points_t(ro_c, rd_c, ts)
             sig_t = fused_nerf_sigma_apply_t(
                 w1c, w2c, encc, pt, depth=kw["depth"],
                 num_freq_coor=num_freq_coor, width=width, tile=tile,
                 interpret=interpret)
             sigma_c = sig_t.reshape(rc, nc)
             weights_c = sigma_weights(sigma_c, ts)
+        del pts_c
 
         ts_mid = 0.5 * (ts[..., 1:] + ts[..., :-1])
         t_new = sample_pdf(ts_mid, weights_c[..., 1:-1],
@@ -212,6 +236,7 @@ class FusedNerfRenderer:
     coarse_rgb: bool = True
     fine_budget: int = None
     coarse_share: int = 1
+    sigma_grid: "Optional[Tuple[jnp.ndarray, Any]]" = None  # (values, GridSpec)
 
     def __post_init__(self):
         self._fn = make_fused_render_fn(
@@ -219,6 +244,7 @@ class FusedNerfRenderer:
             self.num_freq_coor, self.num_freq_dir, self.width,
             self.depth_fine, self.width_fine, self.coarse_rgb,
             self.fine_budget, self.coarse_share,
+            grid_spec=self.sigma_grid[1] if self.sigma_grid else None,
         )
 
     @classmethod
@@ -238,6 +264,7 @@ class FusedNerfRenderer:
         coarse_rgb: bool = True,
         fine_budget: int = None,
         coarse_share: int = 1,
+        sigma_grid=None,
     ) -> "FusedNerfRenderer":
         pc = pack_nerf_params(params_coarse, depth=depth,
                               num_freq_coor=num_freq_coor,
@@ -251,10 +278,13 @@ class FusedNerfRenderer:
                    num_freq_dir=num_freq_dir, width=width,
                    depth_fine=depth_fine, width_fine=width_fine,
                    coarse_rgb=coarse_rgb, fine_budget=fine_budget,
-                   coarse_share=coarse_share)
+                   coarse_share=coarse_share, sigma_grid=sigma_grid)
 
     def render(self, rays_o: jnp.ndarray, rays_d: jnp.ndarray
                ) -> Dict[str, jnp.ndarray]:
+        if self.sigma_grid is not None:
+            return self._fn(*self.packed_coarse, *self.packed_fine,
+                            rays_o, rays_d, self.sigma_grid[0])
         return self._fn(*self.packed_coarse, *self.packed_fine, rays_o, rays_d)
 
     def render_image(self, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
@@ -302,6 +332,9 @@ def make_sharded_fused_render_fn(
     inner = make_fused_render_fn(settings, **kw)
     n_w = 6  # packed coarse (3) + packed fine (3) weight operands
 
+    in_specs = (P(),) * n_w + (P(axis), P(axis))
+    if kw.get("grid_spec") is not None:
+        in_specs += (P(),)  # density grid: replicated on every chip
     out_specs = {"rgb": P(axis), "t_exp": P(axis), "acc": P(axis)}
     if kw.get("coarse_rgb", True):
         out_specs["rgb_coarse"] = P(axis)
@@ -310,7 +343,7 @@ def make_sharded_fused_render_fn(
         shard_map(
             inner,
             mesh=mesh,
-            in_specs=(P(),) * n_w + (P(axis), P(axis)),
+            in_specs=in_specs,
             out_specs=out_specs,
             **vma_kw,
         )

@@ -10,7 +10,7 @@ multi-network chain (/root/reference/rendering.py:93-239).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,9 +44,17 @@ def make_fused_style_render_fn(
     coarse_rgb: bool = True,
     fine_budget: int = None,
     coarse_share: int = 1,
+    grid_spec=None,
 ):
     """Jitted ``(packed_c(4), packed_f(4), latent_state, rays_o, rays_d,
     style_ids, frame_ids, key) → {"rgb", "t_exp"}`` renderer.
+
+    ``grid_spec`` (tgtc.render.grid.GridSpec): density-grid proposal — the
+    coarse trunk never runs; σ is gathered from a voxel snapshot of the
+    frozen fine density and the render takes one extra trailing operand
+    ``grid_values``. Requires ``coarse_rgb=False``. Valid for Phase F
+    because the NeRF density is frozen after Phase A — the style field
+    only recolors (same argument as render.fast's grid_spec).
 
     ``depth_fine``/``trunk_width_fine`` size the fine NeRF trunk separately
     (reference /root/reference/models.py:202-205); default = coarse dims.
@@ -71,6 +79,9 @@ def make_fused_style_render_fn(
         raise ValueError("coarse_share > 1 requires coarse_rgb=False: the "
                          "shared coarse pass is a sampling proposal, not a "
                          "per-ray coarse image")
+    if grid_spec is not None and coarse_rgb:
+        raise ValueError("grid_spec requires coarse_rgb=False: the density"
+                         "-grid proposal has no coarse radiance")
 
     kw = dict(depth=depth, num_freq_coor=num_freq_coor, style_d=style_d,
               style_width=style_width, latent_dim=latent_dim,
@@ -80,7 +91,8 @@ def make_fused_style_render_fn(
 
     @jax.jit
     def render(wtc, wsc, wgc, encc, wtf, wsf, wgf, encf,
-               latent_state, rays_o, rays_d, style_ids, frame_ids, key):
+               latent_state, rays_o, rays_d, style_ids, frame_ids, key,
+               grid_values=None):
         r = rays_o.shape[0]
         lat = lookup_latents(latent_state, style_ids, frame_ids,
                              sigma_scale, llff_tile)          # [R, L]
@@ -105,11 +117,19 @@ def make_fused_style_render_fn(
         ro_c = rays_o[::coarse_share]
         rd_c = rays_d[::coarse_share]
         rc = ro_c.shape[0]
-        _, ts = sample_along_rays_uniform(
+        pts_c, ts = sample_along_rays_uniform(
             ro_c, rd_c, nc, near=settings.near, far=settings.far,
             key=key,  # perturb=True at render, reference parity
         )
-        if coarse_rgb:
+        if grid_spec is not None:
+            # density-grid proposal: gather σ from the frozen-density
+            # snapshot (perturbed sample points are fine — the grid is a
+            # continuous trilinear field)
+            from tgtc.render.grid import sample_sigma_grid
+
+            sigma_c = sample_sigma_grid(grid_values, grid_spec, pts_c)
+            weights_c = sigma_weights(sigma_c, ts)
+        elif coarse_rgb:
             comp_c, sigma_c = run((wtc, wsc, wgc, encc), ts, kw)
             weights_c = comp_c.weights
         else:
@@ -183,6 +203,7 @@ class FusedStyleRenderer:
     coarse_rgb: bool = True
     fine_budget: int = None
     coarse_share: int = 1
+    sigma_grid: Optional[Tuple[jnp.ndarray, Any]] = None  # (values, GridSpec)
 
     def __post_init__(self):
         self._fn = make_fused_style_render_fn(
@@ -191,6 +212,7 @@ class FusedStyleRenderer:
             self.llff_tile, self.tile, self.interpret, self.trunk_width,
             self.depth_fine, self.trunk_width_fine, self.coarse_rgb,
             self.fine_budget, self.coarse_share,
+            grid_spec=self.sigma_grid[1] if self.sigma_grid else None,
         )
 
     @classmethod
@@ -203,7 +225,7 @@ class FusedStyleRenderer:
         tile: int = 2048, interpret: bool = False, trunk_width: int = 256,
         depth_fine: int = None, trunk_width_fine: int = None,
         coarse_rgb: bool = True, fine_budget: int = None,
-        coarse_share: int = 1,
+        coarse_share: int = 1, sigma_grid=None,
     ) -> "FusedStyleRenderer":
         pk = lambda npar, d, w: pack_style_params(
             npar, concat_params, style_params, depth=d,
@@ -217,9 +239,14 @@ class FusedStyleRenderer:
                    latent_state, settings, depth, num_freq_coor, style_d,
                    style_width, latent_dim, sigma_scale, llff_tile, tile,
                    interpret, trunk_width, depth_fine, trunk_width_fine,
-                   coarse_rgb, fine_budget, coarse_share)
+                   coarse_rgb, fine_budget, coarse_share,
+                   sigma_grid=sigma_grid)
 
     def render(self, rays_o, rays_d, style_ids, frame_ids, key):
+        if self.sigma_grid is not None:
+            return self._fn(*self.packed_coarse, *self.packed_fine,
+                            self.latent_state, rays_o, rays_d, style_ids,
+                            frame_ids, key, self.sigma_grid[0])
         return self._fn(*self.packed_coarse, *self.packed_fine,
                         self.latent_state, rays_o, rays_d, style_ids,
                         frame_ids, key)

@@ -946,6 +946,48 @@ class Pipeline:
         except Exception as e:  # video is a convenience artifact
             print(f"[video] skipped: {e}", flush=True)
 
+    def _build_sigma_grid(self, nstate):
+        """Density-grid proposal (``--sigma_grid N``): snapshot the frozen
+        fine density onto an N³ voxel grid (seconds, once per process) so
+        the fused renders can skip the coarse MLP (tgtc.render.grid).
+        Returns ``(values, GridSpec)`` or None when disabled."""
+        cfg = self.cfg
+        if cfg.sigma_grid <= 0:
+            return None
+        if getattr(self, "_sigma_grid_cache", None) is not None:
+            return self._sigma_grid_cache
+        import time as _time
+
+        from tgtc.ops.pallas.nerf_mlp import pack_nerf_params
+        from tgtc.render.grid import GridSpec, build_sigma_grid, ray_bounds
+
+        t0 = _time.perf_counter()
+        h, w, _ = self.scene.hwf
+        # bounds over training AND spiral poses: one grid serves every
+        # render invocation of this checkpoint
+        poses = np.concatenate([np.asarray(self.scene.poses),
+                                np.asarray(self.scene.render_poses)], 0)
+        ro, rd = rays_for_poses(
+            h, w, jnp.asarray(self.scene.intrinsics), jnp.asarray(poses),
+            use_ndc=not cfg.no_ndc, pixel_alignment=cfg.pixel_alignment,
+        )
+        lo, hi = ray_bounds(ro, rd, self.near, self.far)
+        spec = GridSpec(lo=lo, hi=hi)
+        packed = pack_nerf_params(
+            nstate.params_fine, depth=cfg.netdepth_fine,
+            num_freq_coor=cfg.embed_freq_coor,
+            num_freq_dir=cfg.embed_freq_dir, width=cfg.netwidth_fine,
+        )
+        vals = build_sigma_grid(
+            packed, spec, (cfg.sigma_grid,) * 3, depth=cfg.netdepth_fine,
+            num_freq_coor=cfg.embed_freq_coor, width=cfg.netwidth_fine,
+        )
+        jax.block_until_ready(vals)
+        print(f"[grid] {cfg.sigma_grid}^3 density snapshot built in "
+              f"{_time.perf_counter() - t0:.1f}s", flush=True)
+        self._sigma_grid_cache = (vals, spec)
+        return self._sigma_grid_cache
+
     def _render_stylized_fused(self, nstate, sstate, latent_state, data,
                                ro, rd, out_dir) -> bool:
         """Phase F via the fused stylized-point kernel
@@ -979,6 +1021,7 @@ class Pipeline:
             coarse_rgb=False,
             fine_budget=cfg.fine_budget or None,
             coarse_share=cfg.coarse_share,
+            sigma_grid=self._build_sigma_grid(nstate),
         )
         from tgtc.train.render_style import render_stylized_frames_fused
         from tgtc.utils.video import StreamingGifWriter
@@ -1030,6 +1073,7 @@ class Pipeline:
                 width_fine=cfg.netwidth_fine, coarse_rgb=False,
                 fine_budget=cfg.fine_budget or None,
                 coarse_share=cfg.coarse_share,
+                sigma_grid=self._build_sigma_grid(state),
             )
             rfn = renderer.render_image
         else:
