@@ -81,6 +81,10 @@ COARSE_SHARE = 2
 # density-grid proposal snapshot resolution (tgtc.render.grid): 192^3
 # float32 = 28 MB HBM; quality sweep in BASELINE.md round 5
 GRID_RES = 192
+# distilled-proposal trunk dims (tgtc.render.distill): width 128 fills one
+# MXU lane tile; quality sweep in BASELINE.md round 5
+PROPOSAL_DEPTH = 2
+PROPOSAL_WIDTH = 128
 
 
 def _flops_per_ray(nc=64, nf_tot=128, fine_budget=None):
@@ -177,6 +181,19 @@ def main():
         fine_budget=ERT_FINE_BUDGET, coarse_share=COARSE_SHARE,
         sigma_grid=(grid_vals, GridSpec(lo=glo, hi=ghi)))
 
+    # distilled-proposal variant (opt-in --proposal_width): the D8xW256
+    # coarse pass is replaced by a tiny MXU-shaped trunk regressed onto
+    # the frozen fine density (tgtc.render.distill; quality in
+    # BASELINE.md). Throughput is value-independent — random tiny params
+    # stand in; what's measured is the DnxWn sigma pass.
+    params_p = _numpy_nerf_params(
+        rng, NerfConfig(depth=PROPOSAL_DEPTH, width=PROPOSAL_WIDTH))
+    rend_prop = FusedNerfRenderer.from_params(
+        params_p, params_f, settings, coarse_rgb=False,
+        depth=PROPOSAL_DEPTH, width=PROPOSAL_WIDTH,
+        depth_fine=nerf_cfg.depth, width_fine=nerf_cfg.width,
+        fine_budget=ERT_FINE_BUDGET, coarse_share=COARSE_SHARE)
+
     rays_d = jnp.asarray(rays_d)
     rays_o = jnp.asarray(rays_o)
 
@@ -212,6 +229,8 @@ def main():
     _mark("ERT+coarse_share path measured")
     grid_rays_per_sec = _measure(rend_grid)
     _mark("grid+ERT+share path measured")
+    prop_rays_per_sec = _measure(rend_prop)
+    _mark("distill+ERT+share path measured")
 
     tflops = rays_per_sec * _flops_per_ray() / 1e12
     print(
@@ -245,6 +264,12 @@ def main():
                 "grid_ert_cs_rays_per_sec": round(grid_rays_per_sec, 1),
                 "grid_ert_cs_vs_baseline": round(
                     grid_rays_per_sec / ASSUMED_REF_RAYS_PER_SEC, 2),
+                # stacked distilled proposal: coarse MLP -> tiny
+                # MXU-shaped trunk (--proposal_width), + ERT + share
+                "proposal_dims": f"D{PROPOSAL_DEPTH}xW{PROPOSAL_WIDTH}",
+                "prop_ert_cs_rays_per_sec": round(prop_rays_per_sec, 1),
+                "prop_ert_cs_vs_baseline": round(
+                    prop_rays_per_sec / ASSUMED_REF_RAYS_PER_SEC, 2),
             }
         )
     )

@@ -167,7 +167,9 @@ def ert_quality_sweep(pipe, budgets):
     ``"BxS"`` adding coarse_share=S (shared coarse proposal across S
     scanline-adjacent pixels, render.fast) — e.g. ``"80x2"``. A leading
     ``g`` (e.g. ``"g80x2"``) swaps the coarse MLP for the density-grid
-    proposal (render.grid, resolution = --sigma_grid or 192)."""
+    proposal (render.grid, resolution = --sigma_grid or 192); a leading
+    ``d`` (e.g. ``"d80x2"``) swaps it for the distilled proposal MLP
+    (render.distill, dims = --proposal_width/depth or D2xW128)."""
     import jax
     import jax.numpy as jnp
 
@@ -187,17 +189,20 @@ def ert_quality_sweep(pipe, budgets):
     ro, rd = jnp.reshape(ro, (-1, 3)), jnp.reshape(rd, (-1, 3))
     gt = np.asarray(pipe.scene.images[v]).reshape(-1, 3)
 
-    def render(budget, share=1, use_grid=False):
+    def render(budget, share=1, use_grid=False, use_distill=False):
+        prop = pipe._build_proposal(state) if use_distill else None
         rend = FusedNerfRenderer.from_params(
-            state.params_coarse, state.params_fine,
+            prop[0] if prop else state.params_coarse, state.params_fine,
             RenderSettings(n_samples=cfg.N_samples,
                            n_samples_fine=cfg.N_samples_fine,
                            near=pipe.near, far=pipe.far,
                            sigma_noise_std=0.0,
                            white_bkgd=cfg.white_bkgd),
             num_freq_coor=cfg.embed_freq_coor,
-            num_freq_dir=cfg.embed_freq_dir, depth=cfg.netdepth,
-            width=cfg.netwidth, depth_fine=cfg.netdepth_fine,
+            num_freq_dir=cfg.embed_freq_dir,
+            depth=prop[1] if prop else cfg.netdepth,
+            width=prop[2] if prop else cfg.netwidth,
+            depth_fine=cfg.netdepth_fine,
             width_fine=cfg.netwidth_fine, coarse_rgb=False,
             fine_budget=budget, coarse_share=share,
             sigma_grid=pipe._build_sigma_grid(state) if use_grid else None,
@@ -211,27 +216,33 @@ def ert_quality_sweep(pipe, budgets):
     def parse(spec):
         s = str(spec).strip().lower()
         use_grid = s.startswith("g")
-        s = s[1:] if use_grid else s
+        use_distill = s.startswith("d")
+        s = s[1:] if (use_grid or use_distill) else s
         budget, _, share = s.partition("x")
         try:
-            return int(budget) or None, int(share or 1), use_grid
+            return int(budget) or None, int(share or 1), use_grid, \
+                use_distill
         except ValueError:
             raise SystemExit(
                 f"bad --ert_sweep spec {spec!r}: expected BUDGET or "
-                f"BUDGETxSHARE (optional leading 'g' for the density-grid "
-                f"proposal) with integer fields, e.g. '80', '80x2', 'g80x2'"
+                f"BUDGETxSHARE (optional leading 'g' = density-grid / "
+                f"'d' = distilled proposal) with integer fields, "
+                f"e.g. '80', '80x2', 'g80x2', 'd80x2'"
             )
 
     full = render(None)
     psnr_full = psnr(gt, full)
     rows = []
     for spec in budgets:
-        b, share, use_grid = parse(spec)
-        img = render(b, share, use_grid)
+        b, share, use_grid, use_distill = parse(spec)
+        img = render(b, share, use_grid, use_distill)
         rows.append({
             "fine_budget": b or 0,
             "coarse_share": share,
             "sigma_grid": pipe.cfg.sigma_grid if use_grid else 0,
+            "proposal": (f"D{pipe.cfg.proposal_depth}x"
+                         f"W{pipe.cfg.proposal_width}"
+                         if use_distill else ""),
             "psnr_gt_db": round(psnr(gt, img), 3),
             "psnr_delta_vs_full_db": round(psnr_full - psnr(gt, img), 3),
             "psnr_agreement_db": round(psnr(full, img), 2),
@@ -272,6 +283,12 @@ def main():
                     help="density-grid proposal resolution for the fused "
                          "renders and 'g'-prefixed ert_sweep specs "
                          "(0 = off; 192 is the bench point)")
+    ap.add_argument("--proposal_width", type=int, default=0,
+                    help="distilled-proposal trunk width for the fused "
+                         "renders and 'd'-prefixed ert_sweep specs "
+                         "(0 = off; 128 is the bench point)")
+    ap.add_argument("--proposal_depth", type=int, default=2)
+    ap.add_argument("--proposal_steps", type=int, default=3000)
     ap.add_argument("--depth_png", default="full",
                     choices=["full", "half", "off"],
                     help="per-frame depth artifact for --spiral/--full "
@@ -293,6 +310,10 @@ def main():
             s.strip().lower().startswith("g")
             for s in args.ert_sweep.split(",") if s.strip()):
         args.sigma_grid = 192  # the bench.py point
+    if args.proposal_width == 0 and any(
+            s.strip().lower().startswith("d")
+            for s in args.ert_sweep.split(",") if s.strip()):
+        args.proposal_width = 128  # the bench.py point
     if args.scene_class != "smooth" and args.workdir == "/tmp/tgtc_realscale":
         args.workdir = f"/tmp/tgtc_realscale_{args.scene_class}"
     root = os.path.join(args.workdir, "scene")
@@ -330,6 +351,9 @@ def main():
         coarse_share=args.coarse_share,
         depth_png=args.depth_png,
         sigma_grid=args.sigma_grid,
+        proposal_width=args.proposal_width,
+        proposal_depth=args.proposal_depth,
+        proposal_steps=args.proposal_steps,
     )
     pipe = Pipeline(cfg)
     pipe.vae_iters = 200

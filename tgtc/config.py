@@ -159,6 +159,25 @@ class Config:
     #                              evaluates every ray's own 3-D points
     #                              (render.fast coarse_share). 1 = off,
     #                              exact reference parity.
+    proposal_width: int = 0      # distilled-proposal trunk width for the
+    #                              fused renders (render.distill): after
+    #                              Phase A the density is frozen, so the
+    #                              coarse proposal MLP is distilled ONCE
+    #                              per checkpoint into a tiny MXU-shaped
+    #                              trunk (proposal_depth x proposal_width;
+    #                              128 = one MXU lane tile, ~19x fewer
+    #                              FLOPs than the D8xW256 sigma pass) and
+    #                              used in place of the coarse net. 0 =
+    #                              off (exact reference parity: the full
+    #                              coarse MLP runs on every ray of every
+    #                              frame, /root/reference/rendering.py:
+    #                              27-36). Composes with fine_budget and
+    #                              coarse_share; mutually exclusive with
+    #                              sigma_grid.
+    proposal_depth: int = 2      # distilled-proposal trunk depth
+    proposal_steps: int = 3000   # distillation regression steps (expectile
+    #                              tau=0.85, render.distill); ~seconds on
+    #                              TPU, once per checkpoint per process
     sigma_grid: int = 0          # density-grid proposal for the fused
     #                              renders (render.grid): snapshot the
     #                              frozen fine density onto an N^3 voxel

@@ -45,6 +45,7 @@ def make_fused_style_render_fn(
     fine_budget: int = None,
     coarse_share: int = 1,
     grid_spec=None,
+    proposal_dims: dict = None,
 ):
     """Jitted ``(packed_c(4), packed_f(4), latent_state, rays_o, rays_d,
     style_ids, frame_ids, key) → {"rgb", "t_exp"}`` renderer.
@@ -55,6 +56,13 @@ def make_fused_style_render_fn(
     ``grid_values``. Requires ``coarse_rgb=False``. Valid for Phase F
     because the NeRF density is frozen after Phase A — the style field
     only recolors (same argument as render.fast's grid_spec).
+
+    ``proposal_dims`` (``{"depth", "width", "num_freq_coor"}``): distilled
+    proposal MLP (render.distill) — the coarse style trunk never runs; σ
+    comes from a tiny MXU-shaped trunk fitted to the frozen fine density,
+    and the render takes three extra trailing operands (the proposal's
+    packed ``w1/w2/enc``, pack_nerf_params layout). Requires
+    ``coarse_rgb=False``; mutually exclusive with ``grid_spec``.
 
     ``depth_fine``/``trunk_width_fine`` size the fine NeRF trunk separately
     (reference /root/reference/models.py:202-205); default = coarse dims.
@@ -82,6 +90,12 @@ def make_fused_style_render_fn(
     if grid_spec is not None and coarse_rgb:
         raise ValueError("grid_spec requires coarse_rgb=False: the density"
                          "-grid proposal has no coarse radiance")
+    if proposal_dims is not None and coarse_rgb:
+        raise ValueError("proposal_dims requires coarse_rgb=False: the "
+                         "distilled proposal has no coarse radiance")
+    if proposal_dims is not None and grid_spec is not None:
+        raise ValueError("proposal_dims and grid_spec are both frozen-"
+                         "density proposals: pick one")
 
     kw = dict(depth=depth, num_freq_coor=num_freq_coor, style_d=style_d,
               style_width=style_width, latent_dim=latent_dim,
@@ -92,7 +106,7 @@ def make_fused_style_render_fn(
     @jax.jit
     def render(wtc, wsc, wgc, encc, wtf, wsf, wgf, encf,
                latent_state, rays_o, rays_d, style_ids, frame_ids, key,
-               grid_values=None):
+               grid_values=None, prop_w1=None, prop_w2=None, prop_enc=None):
         r = rays_o.shape[0]
         lat = lookup_latents(latent_state, style_ids, frame_ids,
                              sigma_scale, llff_tile)          # [R, L]
@@ -121,7 +135,22 @@ def make_fused_style_render_fn(
             ro_c, rd_c, nc, near=settings.near, far=settings.far,
             key=key,  # perturb=True at render, reference parity
         )
-        if grid_spec is not None:
+        if proposal_dims is not None:
+            # distilled proposal: σ from the tiny MXU-shaped trunk fitted
+            # to the frozen fine density (render.distill) — the coarse
+            # style chain never runs
+            from tgtc.ops.pallas.nerf_mlp import fused_nerf_sigma_apply_t
+
+            pt, _ = _points_t(ro_c, rd_c, ts)
+            sig_t = fused_nerf_sigma_apply_t(
+                prop_w1, prop_w2, prop_enc, pt,
+                depth=proposal_dims["depth"],
+                num_freq_coor=proposal_dims["num_freq_coor"],
+                width=proposal_dims["width"], tile=tile,
+                interpret=interpret)
+            sigma_c = sig_t.reshape(rc, nc)
+            weights_c = sigma_weights(sigma_c, ts)
+        elif grid_spec is not None:
             # density-grid proposal: gather σ from the frozen-density
             # snapshot (perturbed sample points are fine — the grid is a
             # continuous trilinear field)
@@ -204,6 +233,7 @@ class FusedStyleRenderer:
     fine_budget: int = None
     coarse_share: int = 1
     sigma_grid: Optional[Tuple[jnp.ndarray, Any]] = None  # (values, GridSpec)
+    proposal: Optional[Tuple[Tuple, dict]] = None  # (packed w1/w2/enc, dims)
 
     def __post_init__(self):
         self._fn = make_fused_style_render_fn(
@@ -213,6 +243,7 @@ class FusedStyleRenderer:
             self.depth_fine, self.trunk_width_fine, self.coarse_rgb,
             self.fine_budget, self.coarse_share,
             grid_spec=self.sigma_grid[1] if self.sigma_grid else None,
+            proposal_dims=self.proposal[1] if self.proposal else None,
         )
 
     @classmethod
@@ -225,14 +256,28 @@ class FusedStyleRenderer:
         tile: int = 2048, interpret: bool = False, trunk_width: int = 256,
         depth_fine: int = None, trunk_width_fine: int = None,
         coarse_rgb: bool = True, fine_budget: int = None,
-        coarse_share: int = 1, sigma_grid=None,
+        coarse_share: int = 1, sigma_grid=None, proposal=None,
     ) -> "FusedStyleRenderer":
+        """``proposal``: ``(params, depth, width, num_freq_dir)`` — a raw
+        distilled-proposal NerfMLP (render.distill); packed here with
+        pack_nerf_params and used in place of the coarse style trunk."""
         pk = lambda npar, d, w: pack_style_params(
             npar, concat_params, style_params, depth=d,
             num_freq_coor=num_freq_coor, style_d=style_d,
             style_width=style_width, latent_dim=latent_dim,
             trunk_width=w,
         )
+        if proposal is not None:
+            from tgtc.ops.pallas.nerf_mlp import pack_nerf_params
+
+            p_par, p_depth, p_width, p_nfd = proposal
+            proposal = (
+                pack_nerf_params(p_par, depth=p_depth,
+                                 num_freq_coor=num_freq_coor,
+                                 num_freq_dir=p_nfd, width=p_width),
+                dict(depth=p_depth, width=p_width,
+                     num_freq_coor=num_freq_coor),
+            )
         return cls(pk(nerf_params_coarse, depth, trunk_width),
                    pk(nerf_params_fine, depth_fine or depth,
                       trunk_width_fine or trunk_width),
@@ -240,9 +285,13 @@ class FusedStyleRenderer:
                    style_width, latent_dim, sigma_scale, llff_tile, tile,
                    interpret, trunk_width, depth_fine, trunk_width_fine,
                    coarse_rgb, fine_budget, coarse_share,
-                   sigma_grid=sigma_grid)
+                   sigma_grid=sigma_grid, proposal=proposal)
 
     def render(self, rays_o, rays_d, style_ids, frame_ids, key):
+        if self.proposal is not None:
+            return self._fn(*self.packed_coarse, *self.packed_fine,
+                            self.latent_state, rays_o, rays_d, style_ids,
+                            frame_ids, key, None, *self.proposal[0])
         if self.sigma_grid is not None:
             return self._fn(*self.packed_coarse, *self.packed_fine,
                             self.latent_state, rays_o, rays_d, style_ids,

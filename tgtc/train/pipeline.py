@@ -988,6 +988,44 @@ class Pipeline:
         self._sigma_grid_cache = (vals, spec)
         return self._sigma_grid_cache
 
+    def _build_proposal(self, nstate):
+        """Distilled proposal (``--proposal_width N``): regress the frozen
+        fine density onto a tiny MXU-shaped trunk once per checkpoint
+        (seconds on TPU; tgtc.render.distill) so the fused renders can
+        replace the D8xW256 coarse pass. Returns ``(params, depth, width,
+        num_freq_dir)`` for the renderers' ``proposal=`` argument, or None
+        when disabled."""
+        cfg = self.cfg
+        if cfg.proposal_width <= 0:
+            return None
+        if getattr(self, "_proposal_cache", None) is not None:
+            return self._proposal_cache
+        import time as _time
+
+        from tgtc.render.distill import distill_proposal
+
+        t0 = _time.perf_counter()
+        h, w, _ = self.scene.hwf
+        ro, rd = rays_for_poses(
+            h, w, jnp.asarray(self.scene.intrinsics),
+            jnp.asarray(self.scene.poses),
+            use_ndc=not cfg.no_ndc, pixel_alignment=cfg.pixel_alignment,
+        )
+        params, stats = distill_proposal(
+            jax.random.PRNGKey(cfg.seed + 7), self.nerf_cfg_fine,
+            nstate.params_fine, ro.reshape(-1, 3), rd.reshape(-1, 3),
+            self.near, self.far,
+            depth=cfg.proposal_depth, width=cfg.proposal_width,
+            steps=cfg.proposal_steps,
+        )
+        print(f"[proposal] distilled D{cfg.proposal_depth}xW"
+              f"{cfg.proposal_width} in {_time.perf_counter() - t0:.1f}s "
+              f"(loss {stats['loss']:.4f}, relu-sigma bias "
+              f"{stats['relu_sigma_bias']:+.3f})", flush=True)
+        self._proposal_cache = (params, cfg.proposal_depth,
+                                cfg.proposal_width, cfg.embed_freq_dir)
+        return self._proposal_cache
+
     def _render_stylized_fused(self, nstate, sstate, latent_state, data,
                                ro, rd, out_dir) -> bool:
         """Phase F via the fused stylized-point kernel
@@ -1000,6 +1038,9 @@ class Pipeline:
         from tgtc.render.volume import RenderSettings
 
         cfg = self.cfg
+        if cfg.proposal_width > 0 and cfg.sigma_grid > 0:
+            raise ValueError("--proposal_width and --sigma_grid are both "
+                             "frozen-density proposals: pick one")
         os.makedirs(out_dir, exist_ok=True)
         settings = RenderSettings(
             n_samples=cfg.N_samples, n_samples_fine=cfg.N_samples_fine,
@@ -1022,6 +1063,7 @@ class Pipeline:
             fine_budget=cfg.fine_budget or None,
             coarse_share=cfg.coarse_share,
             sigma_grid=self._build_sigma_grid(nstate),
+            proposal=self._build_proposal(nstate),
         )
         from tgtc.train.render_style import render_stylized_frames_fused
         from tgtc.utils.video import StreamingGifWriter
@@ -1065,11 +1107,20 @@ class Pipeline:
         )
         use_fused = self._fused_render_ok()
         if use_fused:
+            if cfg.proposal_width > 0 and cfg.sigma_grid > 0:
+                raise ValueError("--proposal_width and --sigma_grid are "
+                                 "both frozen-density proposals: pick one")
+            # distilled proposal swaps in as the coarse net: the renderer
+            # already parameterizes coarse dims separately from fine
+            prop = self._build_proposal(state)
             renderer = FusedNerfRenderer.from_params(
-                state.params_coarse, state.params_fine, settings,
+                prop[0] if prop else state.params_coarse,
+                state.params_fine, settings,
                 num_freq_coor=cfg.embed_freq_coor,
-                num_freq_dir=cfg.embed_freq_dir, depth=cfg.netdepth,
-                width=cfg.netwidth, depth_fine=cfg.netdepth_fine,
+                num_freq_dir=cfg.embed_freq_dir,
+                depth=prop[1] if prop else cfg.netdepth,
+                width=prop[2] if prop else cfg.netwidth,
+                depth_fine=cfg.netdepth_fine,
                 width_fine=cfg.netwidth_fine, coarse_rgb=False,
                 fine_budget=cfg.fine_budget or None,
                 coarse_share=cfg.coarse_share,
