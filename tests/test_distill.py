@@ -53,11 +53,12 @@ def _distill(state, ro, rd, **kw):
 
 class TestRegression:
     def test_loss_decreases_and_bias_conservative(self):
-        """The expectile regression must actually fit (final loss well
-        under the trivial zero-predictor's) and bias relu-sigma HIGH
-        (tau=0.85 -> over-estimation is the cheap direction)."""
+        """The expectile regression (tau=0.85 — opt-in; the measured
+        default is symmetric, see module docstring) must actually fit
+        (final loss well under the trivial zero-predictor's) and must not
+        bias relu-sigma LOW (the expensive direction)."""
         state, ro, rd = _trained_fine()
-        _, stats = _distill(state, ro, rd, steps=300)
+        _, stats = _distill(state, ro, rd, steps=300, tau=0.85)
         # trivial predictor baseline: loss of predicting 0 everywhere
         from tgtc.models.nerf import NerfMLP
         from tgtc.ops.encoding import positional_encoding

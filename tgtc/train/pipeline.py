@@ -1016,7 +1016,7 @@ class Pipeline:
             nstate.params_fine, ro.reshape(-1, 3), rd.reshape(-1, 3),
             self.near, self.far,
             depth=cfg.proposal_depth, width=cfg.proposal_width,
-            steps=cfg.proposal_steps,
+            steps=cfg.proposal_steps, n_samples=cfg.N_samples,
         )
         print(f"[proposal] distilled D{cfg.proposal_depth}xW"
               f"{cfg.proposal_width} in {_time.perf_counter() - t0:.1f}s "
