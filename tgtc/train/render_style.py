@@ -235,24 +235,30 @@ def render_stylized_frames_fused(
         if frame_sink is not None:
             frame_sink(rgb_np)
 
+    # Two frames in flight (not one): over a slow-D2H link the fetch of
+    # frame N can outlast frame N+1's dispatch, and a depth-2 queue keeps
+    # the device fed while the host drains the transfer. uint8 frames are
+    # ~2.3 MB each on device, so the extra buffering is negligible HBM.
+    from collections import deque
+
     rendered = 0
-    pending = None
+    pending = deque()
     for s in style_ids:
         for f in range(v):
             path = os.path.join(out_dir, f"style_{s:05d}_fine_{f:05d}.png")
             if skip_existing and os.path.exists(path):
                 continue
             rgb8, t8 = dispatch_frame(s, f)
-            if pending is not None:
-                flush(pending)
-            pending = (
+            while len(pending) >= 2:
+                flush(pending.popleft())
+            pending.append((
                 path,
                 os.path.join(out_dir, f"style_{s:05d}_fine_depth_{f:05d}.png"),
                 rgb8, t8,
-            )
+            ))
             rendered += 1
-    if pending is not None:
-        flush(pending)
+    while pending:
+        flush(pending.popleft())
     errs = native.wait_writes()
     if errs:
         raise IOError(f"{errs} async png writes failed in {out_dir}")
