@@ -21,6 +21,28 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache for the suite: the full tier's wall time on
+# a 1-core host is dominated by CPU XLA compiles of near-identical tiny
+# programs; with the on-disk cache a repeat run (the common local loop)
+# compiles from disk. Cold first runs are unaffected. Opt out with
+# TGTC_NO_COMPILE_CACHE=1 (same knob as bench.py / the CLI).
+if os.environ.get("TGTC_NO_COMPILE_CACHE") != "1":
+    _cache_dir = os.environ.get(
+        "TGTC_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "tgtc_jax_tests"),
+    )
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # CPU-backend cache writes are gated off by default; enable them.
+        jax.config.update(
+            "jax_persistent_cache_enable_xla_caches",
+            "xla_gpu_per_fusion_autotune_cache_dir",
+        )
+    except Exception:
+        pass  # cache is an optimization, never a test dependency
+
 import numpy as np
 import pytest
 

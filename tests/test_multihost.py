@@ -117,131 +117,79 @@ def _spawn_two(worker_args, timeout=420):
     return logs
 
 
+@pytest.fixture(scope="module")
+def two_process_results(tmp_path_factory):
+    """ONE 2-process × 4-virtual-device spawn running all four proofs
+    (Phase-A step, style step, C1 step, Pipeline Phase-A e2e) via the
+    worker's ``all`` mode — one jax import + one distributed init instead
+    of four spawn pairs (VERDICT r4 item 7: trim the slow tier). The
+    worker keeps the individual ``train``/``style``/``c1``/``pipeline``
+    modes for manual bisection."""
+    tmp_path = tmp_path_factory.mktemp("mh_all")
+    from tests.synthetic_scene import make_synthetic_llff_scene
+
+    scene = make_synthetic_llff_scene(tmp_path / "scene")
+    basedir = str(tmp_path / "logs")
+    out = tmp_path / "p0.json"
+    logs = _spawn_two(["all", scene, basedir, out], timeout=600)
+    return json.loads(out.read_text()), logs
+
+
 @pytest.mark.slow
 class TestTwoProcessTraining:
-    def test_two_process_loss_equals_single_process(self, tmp_path):
-        """Spawn 2 processes × 4 virtual CPU devices; the Phase-A step over
-        the global 8-device mesh must match the single-process 8-device run
-        bit for bit (VERDICT r3 item 1)."""
+    def test_two_process_loss_equals_single_process(
+            self, two_process_results):
+        """2 processes × 4 virtual CPU devices: the Phase-A step over the
+        global 8-device mesh must match the single-process 8-device run
+        (VERDICT r3 item 1)."""
         assert len(jax.devices()) == 8
-        port = _free_port()
-        out = tmp_path / "p0.json"
-        worker = os.path.join(_REPO, "tests", "multihost_worker.py")
-        env_base = {
-            k: v for k, v in os.environ.items()
-            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
-        }
-        procs = []
-        for pid in (0, 1):
-            env = dict(
-                env_base,
-                TGTC_COORDINATOR=f"127.0.0.1:{port}",
-                TGTC_NUM_PROCESSES="2",
-                TGTC_PROCESS_ID=str(pid),
-            )
-            procs.append(subprocess.Popen(
-                [sys.executable, worker, str(out)],
-                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                text=True,
-            ))
-        logs = []
-        for p in procs:
-            try:
-                stdout, _ = p.communicate(timeout=420)
-            except subprocess.TimeoutExpired:
-                for q in procs:
-                    q.kill()
-                raise
-            logs.append(stdout)
-        assert all(p.returncode == 0 for p in procs), (
-            "\n=== p0 ===\n" + logs[0][-3000:]
-            + "\n=== p1 ===\n" + logs[1][-3000:]
-        )
-        got = json.loads(out.read_text())
-
+        got, _ = two_process_results
         want_loss, want_fp = _single_process_result()
         # Not bit-exact: the grad psum crosses processes through gloo,
         # whose reduction order differs from the in-process shared-memory
         # collective (measured delta ~1e-7 relative). The same-topology
         # dryruns stay exact; across topologies assert float32
         # reduction-order-level agreement.
-        np.testing.assert_allclose(got["loss"], want_loss, rtol=1e-5)
-        np.testing.assert_allclose(got["param_fingerprint"], want_fp,
+        np.testing.assert_allclose(got["train"]["loss"], want_loss,
                                    rtol=1e-5)
+        np.testing.assert_allclose(got["train"]["param_fingerprint"],
+                                   want_fp, rtol=1e-5)
 
-    def test_two_process_pipeline_phase_a(self, tmp_path):
+    def test_two_process_pipeline_phase_a(self, two_process_results):
         """The Pipeline's multihost branch end-to-end: 2 processes share a
         scene + log directory; Phase A trains over the global mesh;
         process 0 (only) writes checkpoints and logs."""
-        from tests.synthetic_scene import make_synthetic_llff_scene
-
-        scene = make_synthetic_llff_scene(tmp_path / "scene")
-        basedir = str(tmp_path / "logs")
-        out = tmp_path / "p0.json"
-        port = _free_port()
-        worker = os.path.join(_REPO, "tests", "multihost_worker.py")
-        env_base = {
-            k: v for k, v in os.environ.items()
-            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
-        }
-        procs = []
-        for pid in (0, 1):
-            env = dict(
-                env_base,
-                TGTC_COORDINATOR=f"127.0.0.1:{port}",
-                TGTC_NUM_PROCESSES="2",
-                TGTC_PROCESS_ID=str(pid),
-            )
-            procs.append(subprocess.Popen(
-                [sys.executable, worker, "pipeline", scene, basedir,
-                 str(out)],
-                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                text=True,
-            ))
-        logs = []
-        for p in procs:
-            try:
-                stdout, _ = p.communicate(timeout=420)
-            except subprocess.TimeoutExpired:
-                for q in procs:
-                    q.kill()
-                raise
-            logs.append(stdout)
-        assert all(p.returncode == 0 for p in procs), (
-            "\n=== p0 ===\n" + logs[0][-3000:]
-            + "\n=== p1 ===\n" + logs[1][-3000:]
-        )
-        got = json.loads(out.read_text())
-        assert got["latest_step"] == 20  # origin_step checkpoint, from p0
+        got, logs = two_process_results
+        # origin_step checkpoint, written by p0 only
+        assert got["pipeline"]["latest_step"] == 20
         assert "Run phases B-D single-process" in logs[0]
         assert "Run phases B-D single-process" not in logs[1]
 
-    def test_two_process_style_step_equals_single_process(self, tmp_path):
+    def test_two_process_style_step_equals_single_process(
+            self, two_process_results):
         """Phase-E (style distillation) step over the 2×4 global mesh vs
         the in-process 1×8 run — same workload code on both sides
         (tests/multihost_worker.py:style_workload, VERDICT r4 item 2)."""
         from tests.multihost_worker import style_workload
         from tgtc.parallel import get_mesh
 
-        out = tmp_path / "p0.json"
-        _spawn_two(["style", out])
-        got = json.loads(out.read_text())
+        got, _ = two_process_results
         want_loss, want_fp = style_workload(get_mesh())
-        np.testing.assert_allclose(got["loss"], want_loss, rtol=1e-5)
-        np.testing.assert_allclose(got["param_fingerprint"], want_fp,
+        np.testing.assert_allclose(got["style"]["loss"], want_loss,
                                    rtol=1e-5)
+        np.testing.assert_allclose(got["style"]["param_fingerprint"],
+                                   want_fp, rtol=1e-5)
 
-    def test_two_process_c1_step_equals_single_process(self, tmp_path):
-        """C1 StyTrans step — the reference's only real multi-GPU workload
+    def test_two_process_c1_step_equals_single_process(
+            self, two_process_results):
+        """C1 StyTrans step — the reference's one real multi-GPU workload
         (DataParallel, /root/reference/trans_train.py:125-126) — over the
         2×4 global mesh vs the in-process 1×8 run."""
         from tests.multihost_worker import c1_workload
         from tgtc.parallel import get_mesh
 
-        out = tmp_path / "p0.json"
-        _spawn_two(["c1", out])
-        got = json.loads(out.read_text())
+        got, _ = two_process_results
         want_loss, want_fp = c1_workload(get_mesh())
-        np.testing.assert_allclose(got["loss"], want_loss, rtol=1e-5)
-        np.testing.assert_allclose(got["param_fingerprint"], want_fp,
-                                   rtol=1e-5)
+        np.testing.assert_allclose(got["c1"]["loss"], want_loss, rtol=1e-5)
+        np.testing.assert_allclose(got["c1"]["param_fingerprint"],
+                                   want_fp, rtol=1e-5)
